@@ -1,0 +1,128 @@
+"""ctypes bindings to the native bit-serial runtime (native/dsvbits.cpp).
+
+Builds the shared library on first use (g++ -O3 -shared); the serial
+entropy-decode walk runs native while all per-coefficient math stays on TPU.
+"""
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_PKG = Path(__file__).resolve().parent.parent
+_SRC = _PKG / "native" / "dsvbits.cpp"
+_SO = _PKG.parent / "build" / "native" / "libdsvbits.so"
+
+_lib = None
+
+
+def _build():
+    _SO.parent.mkdir(parents=True, exist_ok=True)
+    subprocess.run(
+        ["g++", "-O3", "-fPIC", "-std=c++17", "-shared", str(_SRC), "-o", str(_SO)],
+        check=True,
+    )
+
+
+def lib():
+    global _lib
+    if _lib is None:
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            _build()
+        _lib = ctypes.CDLL(str(_SO))
+        _lib.dsv1n_parse_hzcc.restype = ctypes.c_int32
+    return _lib
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def parse_hzcc(buf: np.ndarray, planelen: int, max_syms: int):
+    """Parse an HZCC section -> (runs u32[n], vals i32[n], nruns)."""
+    buf = np.ascontiguousarray(buf, np.uint8)
+    runs = np.empty(max(max_syms, 1), np.uint32)
+    vals = np.empty(max(max_syms, 1), np.int32)
+    nruns = ctypes.c_uint32(0)
+    endpos = ctypes.c_uint32(0)
+    n = lib().dsv1n_parse_hzcc(
+        _u8p(buf), ctypes.c_uint32(buf.size), ctypes.c_uint32(planelen),
+        ctypes.c_int32(max_syms),
+        runs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(nruns), ctypes.byref(endpos),
+    )
+    return runs[:n], vals[:n], int(nruns.value), int(endpos.value)
+
+
+def zbrle_decode(buf: np.ndarray, n: int) -> np.ndarray:
+    buf = np.ascontiguousarray(buf, np.uint8)
+    out = np.empty(n, np.uint8)
+    lib().dsv1n_zbrle_decode(
+        _u8p(buf), ctypes.c_uint32(buf.size), ctypes.c_int32(n), _u8p(out)
+    )
+    return out
+
+
+def decode_motion(mode_buf, mvx_buf, mvy_buf, sbim_buf, nbh: int, nbv: int):
+    """Decode the 4 motion substreams -> (modes, mvx, mvy, submask)."""
+    n = nbh * nbv
+    modes = np.zeros(n, np.uint8)
+    mvx = np.zeros(n, np.int16)
+    mvy = np.zeros(n, np.int16)
+    sub = np.zeros(n, np.uint8)
+    bufs = [np.ascontiguousarray(b, np.uint8) for b in
+            (mode_buf, mvx_buf, mvy_buf, sbim_buf)]
+    lib().dsv1n_decode_motion(
+        _u8p(bufs[0]), ctypes.c_uint32(bufs[0].size),
+        _u8p(bufs[1]), ctypes.c_uint32(bufs[1].size),
+        _u8p(bufs[2]), ctypes.c_uint32(bufs[2].size),
+        _u8p(bufs[3]), ctypes.c_uint32(bufs[3].size),
+        ctypes.c_int32(nbh), ctypes.c_int32(nbv),
+        _u8p(modes),
+        mvx.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        mvy.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        _u8p(sub),
+    )
+    return modes, mvx, mvy, sub
+
+
+def encode_motion(modes, mvx, mvy, submask, nbh: int, nbv: int):
+    """Encode motion data -> 4 byte buffers (mode, mvx, mvy, sbim)."""
+    cap = max(64, nbh * nbv * 32)
+    outs = [np.zeros(cap, np.uint8) for _ in range(4)]
+    lens = [ctypes.c_uint32(0) for _ in range(4)]
+    modes = np.ascontiguousarray(modes, np.uint8)
+    mvx = np.ascontiguousarray(mvx, np.int16)
+    mvy = np.ascontiguousarray(mvy, np.int16)
+    submask = np.ascontiguousarray(submask, np.uint8)
+    lib().dsv1n_encode_motion(
+        _u8p(modes),
+        mvx.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        mvy.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        _u8p(submask),
+        ctypes.c_int32(nbh), ctypes.c_int32(nbv),
+        _u8p(outs[0]), ctypes.byref(lens[0]),
+        _u8p(outs[1]), ctypes.byref(lens[1]),
+        _u8p(outs[2]), ctypes.byref(lens[2]),
+        _u8p(outs[3]), ctypes.byref(lens[3]),
+        ctypes.c_uint32(cap),
+    )
+    return [outs[i][: lens[i].value].tobytes() for i in range(4)]
+
+
+def pack_symbols(codes: np.ndarray, lens: np.ndarray, out: np.ndarray,
+                 bitpos: int) -> int:
+    """Append symbols into pre-zeroed `out` at bit position; returns new pos."""
+    codes = np.ascontiguousarray(codes, np.uint64)
+    lens32 = np.ascontiguousarray(lens, np.int32)
+    bp = ctypes.c_uint32(bitpos)
+    lib().dsv1n_pack_symbols(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        lens32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(codes.size),
+        _u8p(out), ctypes.c_uint32(out.size), ctypes.byref(bp),
+    )
+    return int(bp.value)

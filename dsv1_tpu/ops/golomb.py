@@ -84,7 +84,8 @@ class BitWriter:
         if need > self._bits.size:
             cap = max(need, self._bits.size * 2)
             nb = np.zeros(cap, dtype=np.uint8)
-            nb[: self.pos] = self._bits[: self.pos]
+            n = min(self.pos, self._bits.size)
+            nb[:n] = self._bits[:n]
             self._bits = nb
 
     def align(self):
@@ -151,6 +152,7 @@ class BitWriter:
 
     def getvalue(self) -> bytes:
         self.align()
+        self._ensure(0)
         return np.packbits(self._bits[: self.pos]).tobytes()
 
 
@@ -172,14 +174,15 @@ class BitReader:
         self.pos += n * 8
 
     def get_bit(self) -> int:
-        b = int(self._bits[self.pos])
+        b = int(self._bits[self.pos]) if self.pos < self._bits.size else 0
         self.pos += 1
         return b
 
     def get_bits(self, n: int) -> int:
         out = 0
         for _ in range(n):
-            out = (out << 1) | int(self._bits[self.pos])
+            out = (out << 1) | (int(self._bits[self.pos])
+                                if self.pos < self._bits.size else 0)
             self.pos += 1
         return out
 

@@ -1,0 +1,274 @@
+"""Hierarchical zero-coefficient coding (HZCC): quantization + run coding.
+
+DSV1 codes each plane as one run-length stream over a fixed traversal: the
+LL region (a ceil(w/8) x ceil(h/8) raster holding all coarse levels) followed
+by the three finest levels' LH/HL/HH subbands (reference hzcc.c:29-48,
+137-293). Quantization is adaptive per block: intra blocks get q/4, stable
+blocks q/2 (hzcc.c:59-74), and the finest level uses power-of-two shift
+quantization with stable blocks held at high quality (hzcc.c:114-135).
+The encoder overwrites coefficients with their dequantized values as it
+codes — the in-loop reconstruction (hzcc.c:174,227,262).
+
+TPU-native design: the traversal becomes a static permutation table; the
+entire quantize + write-back pass is one vectorized gather -> quant ->
+scatter on device (band-sequential only when ceil-rounded band boundaries
+overlap, which the table builder detects). The serial (run, value) symbol
+stream is derived from the quantized traversal array by nonzero-compaction;
+dequantization on decode is a vectorized scatter of parsed values.
+"""
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (BLOCK_P, CHROMA_LIMIT, MAXLVL, MINQUANT, NSUBBAND,
+                         QP_I, QP_P, round_shift)
+from .cint import lb2, trunc_div
+from .sbt import get_quant
+
+
+@dataclass(frozen=True, eq=False)
+class TraversalTables:
+    """Static per-(W,H,nbh,nbv) traversal metadata."""
+    perm: np.ndarray        # int32[N] flat coefficient index per position
+    level: np.ndarray       # int8[N]: -1 = LL region, 0..2 = finest levels
+    blk: np.ndarray         # int32[N] block index for stability lookup
+    seg_bounds: np.ndarray  # int64[11] segment boundaries (LL + 9 bands)
+    has_overlap: bool       # bands alias coefficients (odd ceil dims)
+    n: int
+
+
+@lru_cache(maxsize=64)
+def build_tables(W: int, H: int, nbh: int, nbv: int) -> TraversalTables:
+    """C.1 subband order and traversal (hzcc.c:29-48)."""
+    segs = []
+    sw, sh = round_shift(W, MAXLVL), round_shift(H, MAXLVL)
+    segs.append((-1, 0, 0, sh, sw))
+    for lvl in range(MAXLVL):
+        sw, sh = round_shift(W, MAXLVL - lvl), round_shift(H, MAXLVL - lvl)
+        for s in range(1, NSUBBAND):
+            ox = sw if (s & 1) else 0
+            oy = sh if (s & 2) else 0
+            segs.append((lvl, oy, ox, sh, sw))
+    perms, levels, blks, bounds = [], [], [], [0]
+    for (lvl, oy, ox, sh, sw) in segs:
+        ys, xs = np.mgrid[0:sh, 0:sw]
+        perms.append(((oy + ys) * W + (ox + xs)).ravel().astype(np.int32))
+        levels.append(np.full(sh * sw, lvl, np.int8))
+        if lvl >= 0:
+            dbx = (nbh << BLOCK_P) // sw
+            dby = (nbv << BLOCK_P) // sh
+            bi = (xs * dbx) >> BLOCK_P
+            bj = (ys * dby) >> BLOCK_P
+            blks.append((bj * nbh + bi).ravel().astype(np.int32))
+        else:
+            blks.append(np.zeros(sh * sw, np.int32))
+        bounds.append(bounds[-1] + sh * sw)
+    perm = np.concatenate(perms)
+    overlap = np.unique(perm).size != perm.size
+    return TraversalTables(
+        perm=perm,
+        level=np.concatenate(levels),
+        blk=np.concatenate(blks),
+        seg_bounds=np.asarray(bounds, np.int64),
+        has_overlap=bool(overlap),
+        n=int(perm.size),
+    )
+
+
+def fix_quant(q, plane_idx: int):
+    """C.2 chroma quant limit (hzcc.c:50-57)."""
+    q = jnp.asarray(q, jnp.int32)
+    if plane_idx > 0:
+        q = jnp.minimum(q, CHROMA_LIMIT)
+    return q
+
+
+def frame_quants(q, is_p: bool, plane_idx: int):
+    """Per-level quant parameters for one plane.
+
+    Returns (qp_ll, qp0, qp1, qp2_shift, qp2h_shift) — the last two are
+    shift amounts for the finest level (hzcc.c:199-208).
+    """
+    qf = fix_quant(q, plane_idx)
+    qp_ll = get_quant(qf, is_p, 0)
+    qp0 = qp_ll
+    qp1 = get_quant(qf, is_p, 1)
+    qp2 = lb2(get_quant(qf, is_p, 2))
+    qp2h = jnp.clip(qp2 - (QP_P if is_p else QP_I), 1, 24)
+    return qp_ll, qp0, qp1, qp2, qp2h
+
+
+def tmq4pos(qp, stable):
+    """C.2.4 TMQ_for_position (hzcc.c:63-74) + MINQUANT floor."""
+    t = jnp.where((stable & 2) != 0, qp >> 2,
+                  jnp.where(stable != 0, qp >> 1, qp))
+    return jnp.maximum(t, MINQUANT)
+
+
+def quant_lo(v, q):
+    """C.2 lower-frequency quantizer (hzcc.c:94-112)."""
+    a = jnp.abs(v) << 1
+    mag = trunc_div(a + 1, q << 1)
+    res = jnp.where(a <= q, 0, jnp.where(v < 0, -mag, mag))
+    return jnp.where(v == 0, 0, res)
+
+
+def dequant_lo(v, q):
+    """C.2.1 dequantize_lower_frequency (hzcc.c:120-127)."""
+    m = (jnp.abs(v) * (q << 1) + q) >> 1
+    return jnp.where(v < 0, -m, m)
+
+
+def quant_hi(v, s):
+    """C.2 highest-frequency shift quantizer (hzcc.c:114-118)."""
+    a = jnp.abs(v) >> s
+    return jnp.where(v < 0, -a, a)
+
+
+def dequant_hi(v, s):
+    """C.2.1 dequantize_highest_frequency (hzcc.c:130-135)."""
+    return jnp.left_shift(v, s)
+
+
+def _position_tmq(tables: TraversalTables, q, is_p: bool, plane_idx: int,
+                  stable_blocks, xp=jnp):
+    """Per-traversal-position quant parameter + shift-mode mask."""
+    qp_ll, qp0, qp1, qp2, qp2h = frame_quants(q, is_p, plane_idx)
+    lvl = xp.asarray(tables.level)
+    stable = xp.asarray(stable_blocks, jnp.int32)[xp.asarray(tables.blk)]
+    is_hi = lvl == (MAXLVL - 1)
+    tmq = xp.where(lvl == -1, qp_ll,
+                   xp.where(lvl == 0, tmq4pos(qp0, stable),
+                            xp.where(lvl == 1, tmq4pos(qp1, stable),
+                                     xp.where(stable != 0, qp2h, qp2))))
+    return tmq.astype(jnp.int32), is_hi
+
+
+@partial(jax.jit, static_argnums=(2, 3, 5))
+def encode_plane_core(coefs, q, is_p: bool, plane_idx: int, stable_blocks,
+                      tables: TraversalTables):
+    """Device quantize + in-loop write-back (hzcc_enc, hzcc.c:138-293).
+
+    coefs: (H, W) int32 from fwd_sbt. Returns (qvals[N] traversal-ordered
+    quantized values, recon coefs with dequantized write-back and raw DC).
+    """
+    coefs = jnp.asarray(coefs, jnp.int32)
+    H, W = coefs.shape
+    dc = coefs[0, 0]
+    flat = coefs.reshape(-1).at[0].set(0)  # hzcc.c:171 src[0] = 0
+    tmq, is_hi = _position_tmq(tables, q, is_p, plane_idx, stable_blocks)
+    perm = jnp.asarray(tables.perm)
+
+    def quant_band(vals, tmq_b, hi_b):
+        qv = jnp.where(hi_b, quant_hi(vals, tmq_b), quant_lo(vals, tmq_b))
+        wb = jnp.where(hi_b, dequant_hi(qv, tmq_b), dequant_lo(qv, tmq_b))
+        wb = jnp.where(qv == 0, 0, wb)
+        return qv, wb
+
+    if not tables.has_overlap:
+        vals = flat[perm]
+        qvals, wb = quant_band(vals, tmq, is_hi)
+        flat = flat.at[perm].set(wb)
+    else:
+        # Band boundaries alias (odd ceil dims): preserve the reference's
+        # sequential visit order — later bands re-quantize written-back values.
+        qparts = []
+        for s in range(len(tables.seg_bounds) - 1):
+            lo, hi = int(tables.seg_bounds[s]), int(tables.seg_bounds[s + 1])
+            p = perm[lo:hi]
+            qv, wb = quant_band(flat[p], tmq[lo:hi], is_hi[lo:hi])
+            flat = flat.at[p].set(wb)
+            qparts.append(qv)
+        qvals = jnp.concatenate(qparts)
+
+    flat = flat.at[0].set(dc)  # dsv_encode_plane restores raw DC
+    return qvals, flat.reshape(H, W)
+
+
+def decode_plane_scatter(W: int, H: int, runs: np.ndarray, vals: np.ndarray,
+                         q: int, is_p: bool, plane_idx: int,
+                         stable_blocks: np.ndarray, dc: int,
+                         tables: TraversalTables) -> np.ndarray:
+    """Host-side dequantize + scatter (hzcc_dec, hzcc.c:296-435).
+
+    Builds the (H, W) int32 coefficient array from parsed (run, value)
+    symbols. numpy, exact C integer semantics.
+    """
+    flat = np.zeros(W * H, np.int32)
+    if runs.size:
+        # position of the i-th value in traversal order: sum_{j<=i} runs_j + i
+        pos = np.cumsum(runs.astype(np.int64) + 1) - 1
+        keep = pos < tables.n
+        pos = pos[keep]
+        v = vals[: runs.size][keep].astype(np.int64)
+        tmq, is_hi = _np_position_tmq(tables, q, is_p, plane_idx,
+                                      stable_blocks)
+        t = tmq[pos]
+        hi = is_hi[pos]
+        mag = (np.abs(v) * (t << 1) + t) >> 1
+        dq_lo = np.where(v < 0, -mag, mag)
+        dq_hi = v << t
+        dq = np.where(hi, dq_hi, dq_lo).astype(np.int32)
+        # duplicate flat indices (band overlap): numpy assignment is
+        # last-wins in traversal order, matching the reference visit order
+        flat[tables.perm[pos]] = dq
+    flat[0] = dc
+    return flat.reshape(H, W)
+
+
+def _np_position_tmq(tables: TraversalTables, q: int, is_p: bool,
+                     plane_idx: int, stable_blocks: np.ndarray):
+    """numpy twin of _position_tmq for the host decode path."""
+    qv = int(q)
+    if plane_idx > 0:
+        qv = min(qv, CHROMA_LIMIT)
+
+    def gq(level):
+        x = qv
+        if is_p:
+            x = x * 3 // 2
+        if level == 1:
+            x = x * 2 // 3
+        elif level == 2:
+            x = x * 3 // 2
+        return max(x, MINQUANT)
+
+    def _lb2(n):
+        k, i = 0, 1
+        while i < n:
+            i <<= 1
+            k += 1
+        return k
+
+    qp_ll, qp0, qp1 = gq(0), gq(0), gq(1)
+    qp2 = _lb2(gq(2))
+    qp2h = min(max(qp2 - (QP_P if is_p else QP_I), 1), 24)
+    stable = np.asarray(stable_blocks, np.int32)[tables.blk]
+    lvl = tables.level
+    is_hi = lvl == (MAXLVL - 1)
+
+    def tmq4(qp):
+        return np.maximum(
+            np.where((stable & 2) != 0, qp >> 2,
+                     np.where(stable != 0, qp >> 1, qp)), MINQUANT)
+
+    tmq = np.where(lvl == -1, qp_ll,
+                   np.where(lvl == 0, tmq4(qp0),
+                            np.where(lvl == 1, tmq4(qp1),
+                                     np.where(stable != 0, qp2h, qp2))))
+    return tmq.astype(np.int64), is_hi
+
+
+def runs_from_qvals(qvals: np.ndarray):
+    """Extract the (runs, values) symbol stream from quantized traversal
+    values (the encoder side of hzcc.c:176-283)."""
+    nz = np.flatnonzero(qvals)
+    if nz.size == 0:
+        return np.zeros(0, np.uint32), np.zeros(0, np.int32)
+    prev = np.concatenate(([-1], nz[:-1]))
+    runs = (nz - prev - 1).astype(np.uint32)
+    return runs, qvals[nz].astype(np.int32)

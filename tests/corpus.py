@@ -1,0 +1,64 @@
+"""Synthetic YUV corpus for differential testing."""
+
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from dsv1_tpu.constants import format_h_shift, format_v_shift, round_shift
+
+from . import oracle
+
+
+def make_clip(w, h, subsamp, nframes, seed=0, motion=True):
+    """Moving textured square over noisy gradient; returns planar bytes."""
+    rng = np.random.default_rng(seed)
+    hs, vs = format_h_shift(subsamp), format_v_shift(subsamp)
+    cw, ch = round_shift(w, hs), round_shift(h, vs)
+    frames = []
+    base = (np.linspace(0, 200, w)[None, :]
+            + np.linspace(0, 55, h)[:, None]).astype(np.int32)
+    tex = rng.integers(-18, 18, (h, w))
+    for i in range(nframes):
+        y = base + tex
+        if motion:
+            sx, sy = (13 + 5 * i) % max(w - 24, 1), (11 + 3 * i) % max(h - 24, 1)
+            y = y.copy()
+            y[sy:sy + 20, sx:sx + 20] += 60
+            y = np.roll(y, i, axis=1)
+        y = np.clip(y + rng.integers(-4, 4, (h, w)), 0, 255).astype(np.uint8)
+        u = np.clip(110 + rng.integers(-9, 9, (ch, cw)) + (i * 2), 0,
+                    255).astype(np.uint8)
+        v = np.clip(135 + rng.integers(-9, 9, (ch, cw)), 0, 255).astype(np.uint8)
+        frames += [y.tobytes(), u.tobytes(), v.tobytes()]
+    return b"".join(frames)
+
+
+FMT_FLAG = {0x0: 0, 0x4: 1, 0x5: 2, 0x8: 3}  # subsamp -> CLI -fmt value
+
+
+def ref_encode(yuv: bytes, w, h, subsamp, nframes, tmpdir: Path, **opts):
+    """Encode with the reference binary; returns .dsv bytes."""
+    oracle.build_oracle()
+    inp = tmpdir / "in.yuv"
+    out = tmpdir / "out.dsv"
+    inp.write_bytes(yuv)
+    args = [str(oracle.BIN), "e", f"-inp_{inp}", f"-out_{out}",
+            f"-w{w}", f"-h{h}", f"-fmt{FMT_FLAG[subsamp]}",
+            f"-nfr{nframes}", "-y"]
+    for k, v in opts.items():
+        args.append(f"-{k}{v}")
+    subprocess.run(args, check=True, capture_output=True)
+    return out.read_bytes()
+
+
+def ref_decode(dsv: bytes, tmpdir: Path, **opts) -> bytes:
+    oracle.build_oracle()
+    inp = tmpdir / "in.dsv"
+    out = tmpdir / "out.yuv"
+    inp.write_bytes(dsv)
+    args = [str(oracle.BIN), "d", f"-inp_{inp}", f"-out_{out}", "-y"]
+    for k, v in opts.items():
+        args.append(f"-{k}{v}")
+    subprocess.run(args, check=True, capture_output=True)
+    return out.read_bytes()
