@@ -80,6 +80,16 @@ def plane_view(img, layout: FrameLayout, c: int):
     return seg[p.ext:p.ext + p.h, p.ext:p.ext + p.w]
 
 
+def plane_view_ext(img, layout: FrameLayout, c: int, pad: int):
+    """(h+pad, w+pad) view including `pad` border pixels right/below."""
+    p = layout.planes[c]
+    start = layout.margin + p.offset - p.stride * p.ext - p.ext
+    seg = jnp.reshape(
+        img[start:start + p.stride * (p.h + 2 * p.ext)],
+        (p.h + 2 * p.ext, p.stride))
+    return seg[p.ext:p.ext + p.h + pad, p.ext:p.ext + p.w + pad]
+
+
 def set_plane(img, layout: FrameLayout, c: int, plane2d):
     """Write a (h, w) uint8 plane into the image core."""
     p = layout.planes[c]

@@ -148,3 +148,73 @@ def frame_plane(f, c: int) -> np.ndarray:
     buf = ctypes.cast(p.data, ctypes.POINTER(ctypes.c_uint8 * (p.stride * p.h)))
     arr = np.frombuffer(buf.contents, dtype=np.uint8).reshape(p.h, p.stride)
     return arr[:, : p.w].copy()
+
+
+class DSV_HME(ctypes.Structure):
+    _fields_ = [
+        ("params", ctypes.POINTER(DSV_PARAMS)),
+        ("src", ctypes.POINTER(DSV_FRAME) * 6),
+        ("ref", ctypes.POINTER(DSV_FRAME) * 6),
+        ("mvf", ctypes.POINTER(DSV_MV) * 6),
+        ("levels", ctypes.c_int),
+    ]
+
+
+def mk_frame_planar(planes, subsamp, border=1):
+    """Bordered reference frame from (y, u, v) numpy planes, extended."""
+    L = lib()
+    h, w = planes[0].shape
+    f = L.dsv_mk_frame(subsamp, w, h, border)
+    for c in range(3):
+        p = f.contents.planes[c]
+        arr = planes[c]
+        for y in range(p.h):
+            ctypes.memmove(
+                ctypes.addressof(p.data.contents) + y * p.stride,
+                arr[y].ctypes.data, p.w)
+    L.dsv_extend_frame(f)
+    return f
+
+
+def mk_pyramid(padded, levels, subsamp):
+    """mk_pyramid (dsv_encoder.c:194-217) via public frame API."""
+    L = lib()
+    out = []
+    prev = padded
+    w = padded.contents.width
+    h = padded.contents.height
+    for i in range(levels):
+        pw = (w + (1 << (i + 1)) - 1) >> (i + 1)
+        ph = (h + (1 << (i + 1)) - 1) >> (i + 1)
+        f = L.dsv_mk_frame(subsamp, pw, ph, 1)
+        L.dsv_ds2x_frame_luma(f, prev)
+        L.dsv_extend_frame_luma(f)
+        out.append(f)
+        prev = f
+    return out
+
+
+def run_hme(src_frames, ref_frames, params, levels):
+    """dsv_hme via ctypes; returns structured numpy of the level-0 MV field."""
+    L = lib()
+    hme = DSV_HME()
+    hme.params = ctypes.pointer(params)
+    hme.levels = levels
+    for i in range(levels + 1):
+        hme.src[i] = src_frames[i]
+        hme.ref[i] = ref_frames[i]
+    intra_pct = L.dsv_hme(ctypes.byref(hme))
+    nb = params.nblocks_h * params.nblocks_v
+    mvs = ctypes.cast(hme.mvf[0], ctypes.POINTER(DSV_MV * nb)).contents
+    out = {
+        "mvx": np.array([m.u.xy[0] for m in mvs], np.int32),
+        "mvy": np.array([m.u.xy[1] for m in mvs], np.int32),
+        "mode": np.array([m.mode for m in mvs], np.int32),
+        "submask": np.array([m.submask for m in mvs], np.int32),
+        "lo_var": np.array([m.lo_var for m in mvs], np.int32),
+        "lo_tex": np.array([m.lo_tex for m in mvs], np.int32),
+        "high_detail": np.array([m.high_detail for m in mvs], np.int32),
+    }
+    for i in range(levels + 1):
+        L.dsv_free(hme.mvf[i])
+    return out, intra_pct
