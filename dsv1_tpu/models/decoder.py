@@ -76,9 +76,10 @@ def _jit_i_image(layout: fr.FrameLayout):
 class Decoder:
     """Mirrors the reference decoder API (dsv_decoder.h:52-59)."""
 
-    def __init__(self):
+    def __init__(self, draw_info: int = 0):
         self.meta: Metadata | None = None
         self.got_metadata = False
+        self.draw_info = draw_info
         self._ref_img = None    # extended device image of the last ref frame
 
     def get_metadata(self) -> Metadata | None:
@@ -189,7 +190,12 @@ class Decoder:
                 new_img = _jit_i_image(layout)(outs)
             self._ref_img = new_img
 
-        return DEC_OK, [np.asarray(o) for o in outs], fno
+        result = [np.asarray(o) for o in outs]
+        if self.draw_info and has_ref:
+            from .overlay import draw_info as _draw
+            result = _draw(result, stable, modes, mvx, mvy, submask,
+                           blk_w, blk_h, nbh, nbv, self.draw_info)
+        return DEC_OK, result, fno
 
     def decode_stream(self, stream: bytes):
         """Iterate decoded frames of a .dsv byte stream -> (fnum, planes)."""

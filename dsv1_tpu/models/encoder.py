@@ -1,0 +1,469 @@
+"""DSV1 encoder — byte-exact streams vs the reference encoder.
+
+Orchestration mirrors encode_one_frame (reference dsv_encoder.c:574-694):
+GOP bookkeeping and metadata re-emit, scene-change detection on the smallest
+pyramid level, hierarchical ME with forced-intra promotion, CRF/ABR rate
+control, stability-tracked adaptive quantization, motion/stability substream
+coding and packet link offsets.
+
+TPU-native split: all per-pixel work (pyramids, HME, prediction/residual,
+forward/inverse transforms, quantize+write-back) runs as jitted device
+functions cached per geometry; the host carries only the small control state
+(RC scalars, stability accumulators — mirroring DSV_ENCODER,
+dsv_encoder.h:58-110) and assembles packets with vectorized bit packing.
+"""
+
+from dataclasses import dataclass, field
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import bits
+from ..constants import (GOP_INTRA, MAX_QP_BITS, MAX_QUALITY, MIN_BLOCK_SIZE,
+                         MAX_BLOCK_SIZE, MAX_PYRAMID_LEVELS, MODE_INTER,
+                         BPF_RESET, PT_EOS, RATE_CONTROL_CRF, div_round,
+                         make_pt, quality_percent, round_pow2, round_shift)
+from ..ops import bmc, frame as fr, hzcc, sbt
+from ..ops.cint import lb2_static
+from ..ops.golomb import BitWriter, zbrle_encode
+from ..ops.hme import hme as hme_run
+from .bitstream import encode_eos_packet, encode_metadata_packet, \
+    set_link_offsets, write_packet_hdr
+from .metadata import Metadata
+from .plane import encode_plane_bits
+
+
+def size4dim(dim: int) -> int:
+    """Resolution-based block size (dsv_encoder.c:556-572)."""
+    if dim > 1280:
+        return MAX_BLOCK_SIZE
+    if dim > 1024:
+        return 48
+    if dim > 704:
+        return 32
+    if dim > 352:
+        return 24
+    return MIN_BLOCK_SIZE
+
+
+def auto_pyramid_levels(w: int, h: int, nbh: int, nbv: int) -> int:
+    """Auto pyramid depth (dsv_encoder.c:602-613)."""
+    lvls = lb2_static(min(w, h))
+    maxdim = max(nbh, nbv)
+    while (1 << lvls) > maxdim:
+        lvls -= 1
+    return max(3, min(lvls, MAX_PYRAMID_LEVELS))
+
+
+@dataclass
+class EncoderConfig:
+    """User-facing knobs (defaults: dsv_enc_init, dsv_encoder.c:696-722)."""
+    quality: int = quality_percent(85)
+    gop: int = 24
+    do_scd: bool = True
+    rc_mode: int = RATE_CONTROL_CRF
+    rc_high_motion_nudge: bool = True
+    bitrate: int = 2**31 - 1
+    max_q_step: int = MAX_QUALITY * 1 // 200
+    min_quality: int = quality_percent(1)
+    max_quality: int = quality_percent(95)
+    min_I_frame_quality: int = quality_percent(5)
+    intra_pct_thresh: int = 50
+    scene_change_delta: int = 4
+    stable_refresh: int = 14
+    pyramid_levels: int = 0
+
+
+@lru_cache(maxsize=16)
+def _pyr_layouts(subsamp: int, w: int, h: int, levels: int):
+    outs = [fr.make_layout(subsamp, w, h, True)]
+    for i in range(levels):
+        outs.append(fr.make_layout(subsamp, round_shift(w, i + 1),
+                                   round_shift(h, i + 1), True))
+    return tuple(outs)
+
+
+@lru_cache(maxsize=16)
+def _jit_prep(subsamp: int, w: int, h: int, levels: int):
+    """Input planes -> padded image + luma pyramid images + smallest-level
+    average luma (for SCD)."""
+    layouts = _pyr_layouts(subsamp, w, h, levels)
+
+    @jax.jit
+    def f(planes):
+        imgs = [fr.image_from_planes(layouts[0], planes)]
+        for i in range(levels):
+            lay = layouts[i + 1]
+            src = fr.plane_view_ext(imgs[-1], layouts[i], 0, 1)
+            luma = fr.ds2x_luma(src, lay.planes[0].w, lay.planes[0].h)
+            z1 = jnp.zeros((lay.planes[1].h, lay.planes[1].w), jnp.uint8)
+            imgs.append(fr.image_from_planes(lay, [luma, z1, z1]))
+        al = fr.avg_luma(fr.plane_view(imgs[-1], layouts[-1], 0)) \
+            if levels else jnp.int32(0)
+        return imgs, al
+
+    return f
+
+
+@lru_cache(maxsize=16)
+def _jit_hme(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
+             nbh: int, nbv: int, levels: int):
+    layouts = _pyr_layouts(subsamp, w, h, levels)
+
+    @jax.jit
+    def f(src_imgs, ref_imgs):
+        return hme_run(list(src_imgs), list(ref_imgs), list(layouts),
+                       blk_w, blk_h, nbh, nbv, subsamp, levels)
+
+    return f
+
+
+@lru_cache(maxsize=16)
+def _jit_encode_core(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
+                     nbh: int, nbv: int, has_ref: bool, want_recon: bool):
+    """Prediction/residual + fwd transform + quantize/write-back + in-loop
+    recon for all three planes (encode_picture core, dsv_encoder.c:505-526).
+    """
+    layout = fr.make_layout(subsamp, w, h, True)
+    coef_dims = []
+    for c in range(3):
+        p = layout.planes[c]
+        if c > 0:
+            coef_dims.append((round_pow2(p.w, 1), round_pow2(p.h, 1)))
+        else:
+            coef_dims.append((p.w, p.h))
+    tables = [hzcc.build_tables(cw, ch, nbh, nbv) for (cw, ch) in coef_dims]
+
+    @jax.jit
+    def f(input_img, ref_recon_img, quant, stable_blocks,
+          modes, mvx, mvy, submask):
+        qvals, dcs, recon_planes, preds = [], [], [], []
+        for c in range(3):
+            p = layout.planes[c]
+            cw, ch = coef_dims[c]
+            src_ext = fr.plane_view_ext(input_img, layout, c, cw - p.w)
+            if has_ref:
+                ref_plane = fr.plane_view(ref_recon_img, layout, c)
+                pred = bmc.compensate_plane(
+                    ref_recon_img, ref_plane, layout, c, blk_w, blk_h,
+                    nbh, nbv, modes, mvx, mvy, submask)
+                core = bmc.sub_residual(src_ext[:p.h, :p.w], pred)
+                preds.append(pred)
+            else:
+                core = src_ext[:p.h, :p.w]
+            coefs = jnp.zeros((ch, cw), jnp.int32)
+            coefs = coefs.at[:p.h, :p.w].set(core.astype(jnp.int32) - 128)
+            if cw > p.w:
+                # p2sbc reads the replicated border column (original edge)
+                edge = src_ext[:p.h, p.w:cw].astype(jnp.int32) - 128
+                coefs = coefs.at[:p.h, p.w:cw].set(edge)
+            coefs = sbt.fwd_sbt(coefs, is_p=has_ref)
+            qv, wb = hzcc.encode_plane_core(coefs, quant, has_ref, c,
+                                            stable_blocks, tables[c])
+            qvals.append(qv)
+            dcs.append(coefs[0, 0])
+            if want_recon:
+                rec = sbt.inv_sbt(wb, quant, is_p=has_ref, is_luma=(c == 0))
+                rp = sbt.coefs_to_plane(rec)[:p.h, :p.w]
+                if has_ref:
+                    rp = bmc.add_residual(preds[c], rp)
+                recon_planes.append(rp)
+        recon_img = (fr.image_from_planes(layout, recon_planes)
+                     if want_recon else jnp.int32(0))
+        return qvals, dcs, recon_img
+
+    return f
+
+
+class Encoder:
+    """Mirrors the reference encoder API (dsv_encoder.h:112-121)."""
+
+    def __init__(self, meta: Metadata, config: EncoderConfig | None = None):
+        self.meta = meta
+        self.cfg = config or EncoderConfig()
+        c = self.cfg
+        # dynamic state (dsv_encoder.h:83-110)
+        self.rc_quant = 0
+        self.bpf_total = 0
+        self.bpf_reset = 0
+        self.bpf_avg = 0
+        self.total_P_frame_q = 0
+        self.avg_P_frame_q = 0
+        self.last_P_frame_over = 0
+        self.back_into_range = 0
+        self.next_fnum = 0
+        self.prev_gop = -1
+        self.prev_avg_luma = 0
+        self.refresh_ctr = 0
+        self.prev_link = 0
+        self.force_metadata = False
+        self.stability = None       # (nblk, 2) int16 accumulators
+        self.stable_blocks = None   # (nblk,) uint8
+        self._ref_recon = None      # device image (MC reference)
+        self._ref_pyr = None        # list of device images (HME reference)
+        self._levels = c.pyramid_levels
+        # geometry
+        w, h = meta.width, meta.height
+        self.blk_w = max(MIN_BLOCK_SIZE,
+                         min(size4dim(w) & ~7, MAX_BLOCK_SIZE))
+        self.blk_h = max(MIN_BLOCK_SIZE,
+                         min(size4dim(h) & ~7, MAX_BLOCK_SIZE))
+        self.nbh = div_round(w, self.blk_w)
+        self.nbv = div_round(h, self.blk_h)
+
+    def start(self):
+        """dsv_enc_start (dsv_encoder.c:724-734)."""
+        c = self.cfg
+        c.quality = max(0, min(c.quality, MAX_QUALITY))
+        if c.rc_mode != RATE_CONTROL_CRF:
+            self.rc_quant = c.quality
+            self.avg_P_frame_q = c.quality * 4 // 5
+        self.force_metadata = True
+
+    # ------------------------------------------------------------- RC
+    def _quality2quant(self, is_p: bool, forced_intra: bool) -> int:
+        """quality2quant (dsv_encoder.c:70-168)."""
+        c = self.cfg
+        if c.rc_mode != RATE_CONTROL_CRF:
+            q = self.rc_quant
+            fps = (self.meta.fps_num << 5) // self.meta.fps_den or 1
+            needed_bpf = ((c.bitrate << 5) // fps) >> 3
+            bpf = self.bpf_avg or needed_bpf
+            dir_ = -1 if (bpf - needed_bpf) > 0 else 1
+            delta = (abs(bpf - needed_bpf) << 9) // needed_bpf
+            if dir_ == 1:
+                delta *= 2
+            nudged = False
+            if c.rc_high_motion_nudge:
+                if is_p:
+                    if self.last_P_frame_over:
+                        delta = (delta + 1) * 2
+                        dir_ = -1
+                        nudged = True
+                    elif self.back_into_range:
+                        delta = (delta + 1) * 2
+                        dir_ = 1
+                        nudged = True
+                elif self.back_into_range:
+                    delta = (delta + 1) * 2
+                    dir_ = 1
+                    nudged = True
+            delta = (q * delta) >> 9
+            c.max_q_step = max(1, min(c.max_q_step, MAX_QUALITY))
+            cap = c.max_q_step * 16 if nudged else c.max_q_step
+            delta = min(delta, cap)
+            q += delta * dir_
+            low_p = self.avg_P_frame_q - quality_percent(4)
+            low_p = max(c.min_quality, min(low_p, c.max_quality))
+            minq = low_p if is_p else c.min_I_frame_quality
+            if forced_intra:
+                if q < quality_percent(60):
+                    q += quality_percent(15)
+                elif q < quality_percent(70):
+                    q += quality_percent(8)
+                elif q < quality_percent(75):
+                    q += quality_percent(3)
+                q = max(0, min(q, c.max_quality - quality_percent(5)))
+            q = max(minq, min(q, c.max_quality))
+            q = max(0, min(q, MAX_QUALITY))
+            self.rc_quant = q
+        else:
+            q = c.quality
+            self.rc_quant = q
+        return MAX_QUALITY - ((MAX_QUALITY - 5) * q // MAX_QUALITY)
+
+    # ------------------------------------------------- stability tracking
+    def _stable_blocks_update(self, is_p: bool, mv: dict | None) -> np.ndarray:
+        """encode_stable_blocks accumulator logic (dsv_encoder.c:329-400)."""
+        nblk = self.nbh * self.nbv
+        if self.stability is None:
+            self.stability = np.zeros((nblk, 2), np.int16)
+            self.stable_blocks = np.zeros(nblk, np.uint8)
+        if self.refresh_ctr >= self.cfg.stable_refresh:
+            self.refresh_ctr = 0
+            self.stability[:] = 0
+        avgdiv = max(self.refresh_ctr, 1)
+        sx = self.stability[:, 0].astype(np.int32)
+        sy = self.stability[:, 1].astype(np.int32)
+        if is_p:
+            modes = mv["mode"].reshape(-1)
+            mvx = mv["mvx"].reshape(-1)
+            mvy = mv["mvy"].reshape(-1)
+            inter = modes == MODE_INTER
+            sx = np.where(inter, sx + (np.abs(mvx) >> 2), sx).astype(np.int16)
+            sy = np.where(inter, sy + (np.abs(mvy) >> 2), sy).astype(np.int16)
+            ax = np.sign(sx) * (np.abs(sx.astype(np.int32)) // avgdiv)
+            ay = np.sign(sy) * (np.abs(sy.astype(np.int32)) // avgdiv)
+            lo = (mv["lo_tex"].reshape(-1) != 0) | (mv["lo_var"].reshape(-1) != 0)
+            stable = (mv["high_detail"].reshape(-1) != 0)
+            stable |= (ax == 0) & (ay == 0) & ~lo
+            stable &= inter
+            intra_blk = ~inter
+            sx = np.where(lo, 0x3FFF, sx).astype(np.int16)
+            sy = np.where(lo, 0x3FFF, sy).astype(np.int16)
+        else:
+            ax = np.sign(sx) * (np.abs(sx) // avgdiv)
+            ay = np.sign(sy) * (np.abs(sy) // avgdiv)
+            stable = (ax == 0) & (ay == 0)
+            intra_blk = np.zeros(nblk, bool)
+        self.stability[:, 0] = sx
+        self.stability[:, 1] = sy
+        self.stable_blocks = (stable.astype(np.uint8)
+                              | (intra_blk.astype(np.uint8) << 1))
+        return self.stable_blocks
+
+    # ------------------------------------------------------------ encode
+    def encode(self, planes):
+        """Encode one frame; returns list of packet bytearrays (dsv_enc)."""
+        meta, c = self.meta, self.cfg
+        w, h = meta.width, meta.height
+        fnum = self.next_fnum
+        self.next_fnum += 1
+
+        if self._levels == 0:
+            self._levels = auto_pyramid_levels(w, h, self.nbh, self.nbv)
+        levels = self._levels if c.gop != GOP_INTRA else 0
+
+        prep = _jit_prep(meta.subsamp, w, h, levels)
+        jplanes = [jnp.asarray(p) for p in planes]
+        imgs, al = prep(jplanes)
+
+        gop_start = self.force_metadata or (self.prev_gop + c.gop) <= fnum
+        if gop_start:
+            self.prev_gop = fnum
+            self.force_metadata = False
+
+        if c.gop == GOP_INTRA:
+            is_ref = False
+            has_ref = False
+            forced_intra = False
+        else:
+            is_ref = True
+            has_ref = not gop_start
+            forced_intra = False
+            if c.do_scd:
+                alv = int(al)
+                if abs(self.prev_avg_luma - alv) > c.scene_change_delta:
+                    has_ref = False
+                    forced_intra = True
+                self.prev_avg_luma = alv
+
+        mv = None
+        if has_ref:
+            run = _jit_hme(meta.subsamp, w, h, self.blk_w, self.blk_h,
+                           self.nbh, self.nbv, levels)
+            out = run(tuple(imgs), tuple(self._ref_pyr))
+            mv = {k: np.asarray(v) for k, v in out.items()}
+            if int(mv["intra_pct"]) > c.intra_pct_thresh:
+                has_ref = False
+                forced_intra = True
+
+        quant = self._quality2quant(has_ref, forced_intra)
+        stable = self._stable_blocks_update(has_ref, mv)
+
+        # device: prediction/residual + transforms + quantization + recon
+        want_recon = is_ref and c.gop != GOP_INTRA
+        core = _jit_encode_core(meta.subsamp, w, h, self.blk_w, self.blk_h,
+                                self.nbh, self.nbv, has_ref, want_recon)
+        if has_ref:
+            margs = (jnp.asarray(mv["mode"].reshape(-1)),
+                     jnp.asarray(mv["mvx"].reshape(-1)),
+                     jnp.asarray(mv["mvy"].reshape(-1)),
+                     jnp.asarray(mv["submask"].reshape(-1)))
+        else:
+            z = jnp.zeros(self.nbh * self.nbv, jnp.int32)
+            margs = (z, z, z, z)
+        ref_arg = self._ref_recon if has_ref else jnp.int32(0)
+        qvals, dcs, recon_img = core(imgs[0], ref_arg, jnp.int32(quant),
+                                     jnp.asarray(stable), *margs)
+
+        # host: picture packet assembly (encode_picture, dsv_encoder.c:463-536)
+        wtr = BitWriter(1 << 16)
+        write_packet_hdr(wtr, make_pt(is_ref, has_ref))
+        wtr.align()
+        wtr.put_bits(32, fnum)
+        wtr.align()
+        wtr.put_ueg(self.blk_w >> 2)
+        wtr.put_ueg(self.blk_h >> 2)
+        wtr.align()
+        # stability section
+        srle = zbrle_encode(stable & 1)
+        wtr.put_ueg(len(srle))
+        wtr.align()
+        wtr.concat_bytes(srle)
+        if has_ref:
+            wtr.align()
+            subs = bits.encode_motion(
+                mv["mode"].reshape(-1), mv["mvx"].reshape(-1),
+                mv["mvy"].reshape(-1), mv["submask"].reshape(-1),
+                self.nbh, self.nbv)
+            for sb in subs:
+                wtr.align()
+                wtr.put_ueg(len(sb))
+                wtr.align()
+                wtr.concat_bytes(sb)
+        wtr.align()
+        wtr.put_bits(MAX_QP_BITS, quant)
+        for ci in range(3):
+            encode_plane_bits(wtr, np.asarray(qvals[ci]), int(dcs[ci]))
+        wtr.align()
+        picture = bytearray(wtr.getvalue())
+
+        if want_recon:
+            self._ref_recon = recon_img
+            self._ref_pyr = imgs
+
+        packets = []
+        if gop_start:
+            packets.append(encode_metadata_packet(meta))
+        packets.append(picture)
+
+        if has_ref:
+            self.refresh_ctr += 1
+        self._rc_stats_update(has_ref, len(picture))
+        set_link_offsets(picture, self.prev_link, len(picture))
+        self.prev_link = len(picture)
+        return packets
+
+    def _rc_stats_update(self, is_p: bool, pic_len: int):
+        """ABR statistics (dsv_enc, dsv_encoder.c:816-848)."""
+        c = self.cfg
+        if c.rc_mode == RATE_CONTROL_CRF:
+            return
+        self.bpf_total += pic_len
+        self.bpf_reset += 1
+        if is_p:
+            self.total_P_frame_q += self.rc_quant
+            self.avg_P_frame_q = self.total_P_frame_q // self.bpf_reset
+            fps = (self.meta.fps_num << 5) // self.meta.fps_den or 1
+            needed_bpf = ((c.bitrate << 5) // fps) >> 3
+            went_under = pic_len < (needed_bpf * 3 // 4)
+            needed_bpf = needed_bpf * 7 // 8
+            went_over = pic_len > needed_bpf
+            self.back_into_range = int(self.last_P_frame_over and went_under)
+            self.last_P_frame_over = int(went_over)
+        else:
+            self.last_P_frame_over = 0
+            self.back_into_range = 0
+        self.bpf_avg = self.bpf_total // self.bpf_reset
+        if self.bpf_reset >= BPF_RESET:
+            self.bpf_total = self.bpf_avg
+            self.total_P_frame_q //= self.bpf_reset
+            self.bpf_reset = 1
+
+    def end_of_stream(self) -> bytearray:
+        """dsv_enc_end_of_stream (dsv_encoder.c:766-778)."""
+        pkt = encode_eos_packet(self.prev_link)
+        self.prev_link = 0
+        return pkt
+
+    def encode_stream(self, frames) -> bytes:
+        """Encode an iterable of (y, u, v) frames into a full .dsv stream."""
+        out = bytearray()
+        for planes in frames:
+            for pkt in self.encode(planes):
+                out += pkt
+        out += self.end_of_stream()
+        return bytes(out)

@@ -160,10 +160,12 @@ def ds2x_luma(plane2d, dw: int, dh: int):
 
 
 def avg_luma(plane2d):
-    """dsv_frame_avg_luma (frame.c:223-238): truncating mean."""
-    a = plane2d.astype(jnp.int64)
-    return (jnp.sum(a) // (plane2d.shape[0] * plane2d.shape[1])).astype(
-        jnp.int32)
+    """dsv_frame_avg_luma (frame.c:223-238): truncating mean.
+
+    uint32 sum is exact up to 4K planes (255 * 8.3M < 2^32)."""
+    a = plane2d.astype(jnp.uint32)
+    n = jnp.uint32(plane2d.shape[0] * plane2d.shape[1])
+    return (jnp.sum(a) // n).astype(jnp.int32)
 
 
 def np_yuv_split(data: np.ndarray, subsamp: int, w: int, h: int):
