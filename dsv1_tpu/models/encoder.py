@@ -85,13 +85,12 @@ def _pyr_layouts(subsamp: int, w: int, h: int, levels: int):
     return tuple(outs)
 
 
-@lru_cache(maxsize=16)
-def _jit_prep(subsamp: int, w: int, h: int, levels: int):
-    """Input planes -> padded image + luma pyramid images + smallest-level
-    average luma (for SCD)."""
+def make_prep(subsamp: int, w: int, h: int, levels: int):
+    """Pure fn: input planes -> padded image + luma pyramid images +
+    smallest-level average luma (for SCD). Shared by the per-frame host
+    path and the GOP-scan device path (parallel/gop.py)."""
     layouts = _pyr_layouts(subsamp, w, h, levels)
 
-    @jax.jit
     def f(planes):
         imgs = [fr.image_from_planes(layouts[0], planes)]
         for i in range(levels):
@@ -108,6 +107,11 @@ def _jit_prep(subsamp: int, w: int, h: int, levels: int):
 
 
 @lru_cache(maxsize=16)
+def _jit_prep(subsamp: int, w: int, h: int, levels: int):
+    return jax.jit(make_prep(subsamp, w, h, levels))
+
+
+@lru_cache(maxsize=16)
 def _jit_hme(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
              nbh: int, nbv: int, levels: int):
     layouts = _pyr_layouts(subsamp, w, h, levels)
@@ -120,12 +124,8 @@ def _jit_hme(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
     return f
 
 
-@lru_cache(maxsize=16)
-def _jit_encode_core(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
-                     nbh: int, nbv: int, has_ref: bool, want_recon: bool):
-    """Prediction/residual + fwd transform + quantize/write-back + in-loop
-    recon for all three planes (encode_picture core, dsv_encoder.c:505-526).
-    """
+def coef_geometry(subsamp: int, w: int, h: int, nbh: int, nbv: int):
+    """Per-plane coefficient dims + HZCC traversal tables."""
     layout = fr.make_layout(subsamp, w, h, True)
     coef_dims = []
     for c in range(3):
@@ -135,8 +135,16 @@ def _jit_encode_core(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
         else:
             coef_dims.append((p.w, p.h))
     tables = [hzcc.build_tables(cw, ch, nbh, nbv) for (cw, ch) in coef_dims]
+    return layout, coef_dims, tables
 
-    @jax.jit
+
+def make_encode_core(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
+                     nbh: int, nbv: int, has_ref: bool, want_recon: bool):
+    """Pure fn: prediction/residual + fwd transform + quantize/write-back +
+    in-loop recon for all three planes (encode_picture core,
+    dsv_encoder.c:505-526)."""
+    layout, coef_dims, tables = coef_geometry(subsamp, w, h, nbh, nbv)
+
     def f(input_img, ref_recon_img, quant, stable_blocks,
           modes, mvx, mvy, submask):
         qvals, dcs, recon_planes, preds = [], [], [], []
@@ -175,6 +183,50 @@ def _jit_encode_core(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
         return qvals, dcs, recon_img
 
     return f
+
+
+@lru_cache(maxsize=16)
+def _jit_encode_core(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
+                     nbh: int, nbv: int, has_ref: bool, want_recon: bool):
+    return jax.jit(make_encode_core(subsamp, w, h, blk_w, blk_h, nbh, nbv,
+                                    has_ref, want_recon))
+
+
+def pack_picture(fnum: int, blk_w: int, blk_h: int, stable: np.ndarray,
+                 has_ref: bool, is_ref: bool, mv: dict | None, quant: int,
+                 qvals3, dcs3, nbh: int, nbv: int) -> bytearray:
+    """Host-side picture packet assembly (encode_picture,
+    dsv_encoder.c:463-536). qvals3/dcs3: per-plane traversal-ordered
+    quantized values + raw DCs from the device encode core."""
+    wtr = BitWriter(1 << 16)
+    write_packet_hdr(wtr, make_pt(is_ref, has_ref))
+    wtr.align()
+    wtr.put_bits(32, fnum)
+    wtr.align()
+    wtr.put_ueg(blk_w >> 2)
+    wtr.put_ueg(blk_h >> 2)
+    wtr.align()
+    # stability section (encode_stable_blocks, dsv_encoder.c:329-408)
+    srle = zbrle_encode(stable & 1)
+    wtr.put_ueg(len(srle))
+    wtr.align()
+    wtr.concat_bytes(srle)
+    if has_ref:
+        wtr.align()
+        subs = bits.encode_motion(
+            mv["mode"].reshape(-1), mv["mvx"].reshape(-1),
+            mv["mvy"].reshape(-1), mv["submask"].reshape(-1), nbh, nbv)
+        for sb in subs:
+            wtr.align()
+            wtr.put_ueg(len(sb))
+            wtr.align()
+            wtr.concat_bytes(sb)
+    wtr.align()
+    wtr.put_bits(MAX_QP_BITS, quant)
+    for ci in range(3):
+        encode_plane_bits(wtr, np.asarray(qvals3[ci]), int(dcs3[ci]))
+    wtr.align()
+    return bytearray(wtr.getvalue())
 
 
 class Encoder:
@@ -380,36 +432,9 @@ class Encoder:
                                      jnp.asarray(stable), *margs)
 
         # host: picture packet assembly (encode_picture, dsv_encoder.c:463-536)
-        wtr = BitWriter(1 << 16)
-        write_packet_hdr(wtr, make_pt(is_ref, has_ref))
-        wtr.align()
-        wtr.put_bits(32, fnum)
-        wtr.align()
-        wtr.put_ueg(self.blk_w >> 2)
-        wtr.put_ueg(self.blk_h >> 2)
-        wtr.align()
-        # stability section
-        srle = zbrle_encode(stable & 1)
-        wtr.put_ueg(len(srle))
-        wtr.align()
-        wtr.concat_bytes(srle)
-        if has_ref:
-            wtr.align()
-            subs = bits.encode_motion(
-                mv["mode"].reshape(-1), mv["mvx"].reshape(-1),
-                mv["mvy"].reshape(-1), mv["submask"].reshape(-1),
-                self.nbh, self.nbv)
-            for sb in subs:
-                wtr.align()
-                wtr.put_ueg(len(sb))
-                wtr.align()
-                wtr.concat_bytes(sb)
-        wtr.align()
-        wtr.put_bits(MAX_QP_BITS, quant)
-        for ci in range(3):
-            encode_plane_bits(wtr, np.asarray(qvals[ci]), int(dcs[ci]))
-        wtr.align()
-        picture = bytearray(wtr.getvalue())
+        picture = pack_picture(fnum, self.blk_w, self.blk_h, stable, has_ref,
+                               is_ref, mv, quant, qvals, dcs,
+                               self.nbh, self.nbv)
 
         if want_recon:
             self._ref_recon = recon_img

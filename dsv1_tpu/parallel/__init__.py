@@ -1,0 +1,14 @@
+"""Scale-out layer: GOP-parallel and tile-parallel encode over device meshes.
+
+The reference codec is single-threaded by design (reference README.md:78).
+Its closed-GOP bitstream (metadata re-emitted at every GOP start,
+dsv_encoder.c:624-628) makes the GOP the natural sharding unit; this package
+maps GOPs onto a `jax.sharding.Mesh` axis and keeps each GOP's serial
+recon-chain on a single device as a `lax.scan`.
+"""
+
+from .gop import (build_gop_encoder, build_intra_encoder, gop_mesh,
+                  encode_stream_gops)
+
+__all__ = ["build_gop_encoder", "build_intra_encoder", "gop_mesh",
+           "encode_stream_gops"]

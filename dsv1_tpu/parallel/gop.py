@@ -1,0 +1,342 @@
+"""GOP-parallel TPU encode path.
+
+Design (SURVEY.md §5/§7): a closed GOP's frames are serially dependent
+through the reconstructed reference frame (dsv_encoder.c:639-647,665-674),
+so one GOP = one device-resident `lax.scan` whose carry is exactly the
+reference's inter-frame state: recon frame + HME pyramid + stability
+accumulators + refresh counter + previous average luma (DSV_ENCODER,
+dsv_encoder.h:83-110). GOPs are independent given the per-GOP metadata
+re-emit, so the scan is vmapped over a leading GOP axis and sharded over
+mesh axis 'gop' — DCN/ICI data parallelism with zero collectives on the
+frame path; only the host-side packet link fixup (dsv_encoder.c:170-192)
+is serial, and it is O(bytes).
+
+Rate control: this path implements CRF (constant quality -> constant
+quant, quality2quant tail at dsv_encoder.c:165), which makes every GOP's
+device math independent of packed byte counts. ABR feedback
+(dsv_encoder.c:70-163) needs the packed size of frame t-1 and therefore
+stays on the sequential host path (models/encoder.py).
+
+Byte-exactness: with the CLI default stable_refresh == gop-1
+(dsv_main.c:487-489) the reference's stability accumulators reset exactly
+at every GOP start, and the scan's per-GOP zero initialisation reproduces
+the sequential encoder byte-for-byte (tested). Cross-GOP SCD state is
+reproduced by a cheap boundary prepass that feeds each GOP the average
+luma of its predecessor's last frame. The one intentional divergence:
+a mid-GOP forced-intra frame suppresses the reference's refresh-counter
+increment across the *next* GOP boundary; in that case the parallel
+stream differs in stability flags only — still spec-valid and decoded
+bit-exactly by the reference decoder.
+"""
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from ..constants import (GOP_INTRA, MAX_BLOCK_SIZE, MAX_QUALITY,
+                         MIN_BLOCK_SIZE, MODE_INTER, RATE_CONTROL_CRF,
+                         div_round)
+from ..models.bitstream import (encode_eos_packet, encode_metadata_packet,
+                                set_link_offsets)
+from ..models.encoder import (EncoderConfig, _pyr_layouts,
+                              auto_pyramid_levels, make_encode_core,
+                              make_prep, pack_picture, size4dim)
+from ..models.metadata import Metadata
+from ..ops import frame as fr
+from ..ops.hme import hme as hme_run
+
+
+def crf_quant(quality: int) -> int:
+    """quality2quant CRF tail (dsv_encoder.c:165)."""
+    return MAX_QUALITY - ((MAX_QUALITY - 5) * quality // MAX_QUALITY)
+
+
+def block_geometry(w: int, h: int):
+    blk_w = max(MIN_BLOCK_SIZE, min(size4dim(w) & ~7, MAX_BLOCK_SIZE))
+    blk_h = max(MIN_BLOCK_SIZE, min(size4dim(h) & ~7, MAX_BLOCK_SIZE))
+    return blk_w, blk_h, div_round(w, blk_w), div_round(h, blk_h)
+
+
+def _stable_update(stability, refresh_ctr, is_p, mv, stable_refresh: int):
+    """Device mirror of the stability accumulator logic
+    (encode_stable_blocks, dsv_encoder.c:329-400). int16 wrap semantics.
+
+    Returns (stability', refresh_ctr', stable_blocks u8 bit0=stable
+    bit1=intra)."""
+    reset = refresh_ctr >= stable_refresh
+    refresh_ctr = jnp.where(reset, 0, refresh_ctr)
+    stability = jnp.where(reset, jnp.int16(0), stability)
+    avgdiv = jnp.maximum(refresh_ctr, 1)
+    sx0, sy0 = stability[:, 0], stability[:, 1]
+    mode = mv["mode"].reshape(-1)
+    inter = mode == MODE_INTER
+    # P branch: accumulate quarter-pel magnitudes on inter blocks
+    sxp = jnp.where(inter, sx0.astype(jnp.int32)
+                    + (jnp.abs(mv["mvx"].reshape(-1)) >> 2),
+                    sx0.astype(jnp.int32)).astype(jnp.int16)
+    syp = jnp.where(inter, sy0.astype(jnp.int32)
+                    + (jnp.abs(mv["mvy"].reshape(-1)) >> 2),
+                    sy0.astype(jnp.int32)).astype(jnp.int16)
+    axp = jnp.sign(sxp.astype(jnp.int32)) * \
+        (jnp.abs(sxp.astype(jnp.int32)) // avgdiv)
+    ayp = jnp.sign(syp.astype(jnp.int32)) * \
+        (jnp.abs(syp.astype(jnp.int32)) // avgdiv)
+    lo = (mv["lo_tex"].reshape(-1) != 0) | (mv["lo_var"].reshape(-1) != 0)
+    stable_p = (mv["high_detail"].reshape(-1) != 0) \
+        | ((axp == 0) & (ayp == 0) & ~lo)
+    stable_p &= inter
+    sxp = jnp.where(lo, jnp.int16(0x3FFF), sxp)
+    syp = jnp.where(lo, jnp.int16(0x3FFF), syp)
+    # I branch: accumulators untouched
+    axi = jnp.sign(sx0.astype(jnp.int32)) * \
+        (jnp.abs(sx0.astype(jnp.int32)) // avgdiv)
+    ayi = jnp.sign(sy0.astype(jnp.int32)) * \
+        (jnp.abs(sy0.astype(jnp.int32)) // avgdiv)
+    stable_i = (axi == 0) & (ayi == 0)
+
+    stable = jnp.where(is_p, stable_p, stable_i)
+    intra_blk = jnp.where(is_p, ~inter, False)
+    stability = jnp.where(is_p, jnp.stack([sxp, syp], axis=1), stability)
+    stable_blocks = (stable.astype(jnp.uint8)
+                     | (intra_blk.astype(jnp.uint8) << 1))
+    return stability, refresh_ctr, stable_blocks
+
+
+@lru_cache(maxsize=8)
+def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
+                      do_scd: bool = True, scd_delta: int = 4,
+                      intra_thresh: int = 50, stable_refresh: int = 0,
+                      pyramid_levels: int = 0):
+    """Pure fn encoding one closed CRF GOP of G frames on device.
+
+    f(y[G,h,w]u8, u, v, prev_al0 i32, stab0[nblk,2]i16, refresh0 i32)
+      -> (per-frame outputs dict stacked over G, final (stab, refresh, al))
+    vmap over a leading GOP axis for multi-GOP batches.
+    """
+    blk_w, blk_h, nbh, nbv = block_geometry(w, h)
+    levels = pyramid_levels or auto_pyramid_levels(w, h, nbh, nbv)
+    stable_refresh = stable_refresh or max(1, min(G - 1, 14))
+    layouts = list(_pyr_layouts(subsamp, w, h, levels))
+    prep = make_prep(subsamp, w, h, levels)
+    core_p = make_encode_core(subsamp, w, h, blk_w, blk_h, nbh, nbv,
+                              has_ref=True, want_recon=True)
+    core_i = make_encode_core(subsamp, w, h, blk_w, blk_h, nbh, nbv,
+                              has_ref=False, want_recon=True)
+    quant = crf_quant(quality)
+
+    def zero_mv():
+        z = jnp.zeros((nbv, nbh), jnp.int32)
+        return {"mode": z, "mvx": z, "mvy": z, "submask": z,
+                "lo_tex": z, "lo_var": z, "high_detail": z,
+                "nintra": jnp.int32(0), "intra_pct": jnp.int32(0)}
+
+    def step(carry, xs):
+        ref_recon, ref_pyr, stability, refresh_ctr, prev_al = carry
+        (y, u, v), first = xs
+        imgs, al = prep((y, u, v))
+        has_ref = ~first
+        if do_scd:
+            # check_scene_change (dsv_encoder.c:538-554)
+            has_ref &= jnp.abs(prev_al - al) <= scd_delta
+            prev_al = al
+        mv = lax.cond(
+            has_ref,
+            lambda: hme_run(imgs, list(ref_pyr), layouts, blk_w, blk_h,
+                            nbh, nbv, subsamp, levels),
+            zero_mv)
+        # forced intra promotion (motion_est, dsv_encoder.c:219-254)
+        has_ref &= mv["intra_pct"] <= intra_thresh
+        stability, refresh_ctr, stable_blocks = _stable_update(
+            stability, refresh_ctr, has_ref, mv, stable_refresh)
+        margs = (mv["mode"].reshape(-1), mv["mvx"].reshape(-1),
+                 mv["mvy"].reshape(-1), mv["submask"].reshape(-1))
+        q = jnp.int32(quant)
+        qvals, dcs, recon = lax.cond(
+            has_ref,
+            lambda: core_p(imgs[0], ref_recon, q, stable_blocks, *margs),
+            lambda: core_i(imgs[0], ref_recon, q, stable_blocks, *margs))
+        refresh_ctr = refresh_ctr + has_ref.astype(jnp.int32)
+        out = {
+            "qvals": tuple(qvals),
+            "dc": jnp.stack([jnp.asarray(d, jnp.int32) for d in dcs]),
+            "mode": mv["mode"], "mvx": mv["mvx"], "mvy": mv["mvy"],
+            "submask": mv["submask"],
+            "stable": stable_blocks,
+            "has_ref": has_ref,
+        }
+        return (recon, tuple(imgs), stability, refresh_ctr, prev_al), out
+
+    def run(y, u, v, prev_al0, stab0, refresh0):
+        carry0 = (fr.alloc_image(layouts[0]),
+                  tuple(fr.alloc_image(l) for l in layouts),
+                  stab0, refresh0, prev_al0)
+        first = jnp.arange(G) == 0
+        carry, outs = lax.scan(step, carry0, ((y, u, v), first))
+        return outs, (carry[2], carry[3], carry[4])
+
+    return run
+
+
+@lru_cache(maxsize=8)
+def build_intra_encoder(subsamp: int, w: int, h: int, quality: int):
+    """Pure fn for one intra-only frame (gop 0): no ME, no recon, all
+    blocks stable (the zeroed accumulators make every block stable,
+    dsv_encoder.c:383-393)."""
+    blk_w, blk_h, nbh, nbv = block_geometry(w, h)
+    prep = make_prep(subsamp, w, h, 0)
+    core_i = make_encode_core(subsamp, w, h, blk_w, blk_h, nbh, nbv,
+                              has_ref=False, want_recon=False)
+    quant = crf_quant(quality)
+    nblk = nbh * nbv
+
+    def run(y, u, v):
+        imgs, _ = prep((y, u, v))
+        stable = jnp.ones(nblk, jnp.uint8)
+        z = jnp.zeros(nblk, jnp.int32)
+        qvals, dcs, _ = core_i(imgs[0], jnp.int32(0), jnp.int32(quant),
+                               stable, z, z, z, z)
+        return {"qvals": tuple(qvals),
+                "dc": jnp.stack([jnp.asarray(d, jnp.int32) for d in dcs])}
+
+    return run
+
+
+@lru_cache(maxsize=8)
+def _boundary_al_fn(subsamp: int, w: int, h: int, levels: int):
+    prep = make_prep(subsamp, w, h, levels)
+
+    def al_of(y, u, v):
+        _, al = prep((y, u, v))
+        return al
+
+    return jax.jit(jax.vmap(al_of))
+
+
+def gop_mesh(devices=None, axis: str = "gop") -> Mesh:
+    """1-D device mesh over the GOP axis (SURVEY.md §5: GOP axis -> data
+    parallelism; per-GOP recon chains stay device-local)."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+@lru_cache(maxsize=8)
+def _jit_batched(subsamp, w, h, G, quality, do_scd, scd_delta, intra_thresh,
+                 stable_refresh, pyramid_levels, mesh_key):
+    run = build_gop_encoder(subsamp, w, h, G, quality, do_scd, scd_delta,
+                            intra_thresh, stable_refresh, pyramid_levels)
+    vrun = jax.vmap(run)
+    if mesh_key is None:
+        return jax.jit(vrun)
+    mesh = _MESHES[mesh_key]
+    shard = NamedSharding(mesh, PartitionSpec("gop"))
+    return jax.jit(vrun, in_shardings=(shard,) * 6,
+                   out_shardings=(shard, shard))
+
+
+_MESHES: dict = {}
+
+
+def encode_stream_gops(frames, meta: Metadata,
+                       cfg: EncoderConfig | None = None,
+                       mesh: Mesh | None = None) -> bytes:
+    """Encode frames into a full .dsv stream, GOPs in parallel.
+
+    frames: sequence of (y, u, v) uint8 planar arrays. CRF only (ABR's
+    byte-count feedback is inherently sequential; use models.encoder).
+    """
+    cfg = cfg or EncoderConfig()
+    if cfg.rc_mode != RATE_CONTROL_CRF:
+        raise ValueError("GOP-parallel encode supports CRF only")
+    w, h, subsamp = meta.width, meta.height, meta.subsamp
+    frames = list(frames)
+    N = len(frames)
+    quant = crf_quant(cfg.quality)
+    blk_w, blk_h, nbh, nbv = block_geometry(w, h)
+    out = bytearray()
+    prev_link = 0
+
+    # Only pictures participate in the prev/next link chain; metadata
+    # packets keep prev=0 (mirrors the golden-verified sequential path,
+    # dsv_enc at dsv_encoder.c:804-813).
+    def emit_pic(pkt: bytearray):
+        nonlocal prev_link
+        set_link_offsets(pkt, prev_link, len(pkt))
+        prev_link = len(pkt)
+        out.extend(pkt)
+
+    if cfg.gop == GOP_INTRA:
+        run = build_intra_encoder(subsamp, w, h, cfg.quality)
+        vrun = jax.jit(jax.vmap(run))
+        y = np.stack([f[0] for f in frames])
+        u = np.stack([f[1] for f in frames])
+        v = np.stack([f[2] for f in frames])
+        o = jax.device_get(vrun(y, u, v))
+        stable = np.ones(nbh * nbv, np.uint8)
+        for i in range(N):
+            # gop 0: every frame is a GOP start -> metadata re-emitted
+            # before every picture (dsv_encoder.c:624-652)
+            out.extend(encode_metadata_packet(meta))
+            qv = [o["qvals"][c][i] for c in range(3)]
+            emit_pic(pack_picture(i, blk_w, blk_h, stable, False, False,
+                                  None, quant, qv, o["dc"][i], nbh, nbv))
+        out.extend(encode_eos_packet(prev_link))
+        return bytes(out)
+
+    G = cfg.gop
+    levels = cfg.pyramid_levels or auto_pyramid_levels(w, h, nbh, nbv)
+    ngops = div_round(N, G)
+    npad_gops = ngops
+    if mesh is not None:
+        nd = mesh.devices.size
+        npad_gops = div_round(ngops, nd) * nd
+        key = id(mesh)
+        _MESHES[key] = mesh
+    else:
+        key = None
+
+    # stack into [ngops, G, ...], padding the tail by repeating the last
+    # frame (padded outputs are dropped at packing time)
+    def stack(ci):
+        a = np.stack([frames[min(i, N - 1)][ci]
+                      for i in range(npad_gops * G)])
+        return a.reshape(npad_gops, G, *a.shape[1:])
+
+    y, u, v = stack(0), stack(1), stack(2)
+
+    # SCD boundary prepass: each GOP g>0 sees the average luma of the
+    # previous GOP's last frame (check_scene_change, dsv_encoder.c:538-554)
+    prev_al = np.zeros(npad_gops, np.int32)
+    if cfg.do_scd and ngops > 1:
+        al_fn = _boundary_al_fn(subsamp, w, h, levels)
+        bidx = [g * G - 1 for g in range(1, ngops)]
+        by = np.stack([frames[min(i, N - 1)][0] for i in bidx])
+        bu = np.stack([frames[min(i, N - 1)][1] for i in bidx])
+        bv = np.stack([frames[min(i, N - 1)][2] for i in bidx])
+        prev_al[1:ngops] = np.asarray(al_fn(by, bu, bv))
+
+    stab0 = np.zeros((npad_gops, nbh * nbv, 2), np.int16)
+    refresh0 = np.zeros(npad_gops, np.int32)
+    fn = _jit_batched(subsamp, w, h, G, cfg.quality, cfg.do_scd,
+                      cfg.scene_change_delta, cfg.intra_pct_thresh,
+                      cfg.stable_refresh, cfg.pyramid_levels, key)
+    outs, _ = jax.device_get(fn(y, u, v, prev_al, stab0, refresh0))
+
+    for g in range(ngops):
+        out.extend(encode_metadata_packet(meta))
+        for i in range(G):
+            fnum = g * G + i
+            if fnum >= N:
+                break
+            has_ref = bool(outs["has_ref"][g, i])
+            mv = {k: outs[k][g, i] for k in
+                  ("mode", "mvx", "mvy", "submask")} if has_ref else None
+            qv = [outs["qvals"][c][g, i] for c in range(3)]
+            emit_pic(pack_picture(fnum, blk_w, blk_h, outs["stable"][g, i],
+                                  has_ref, True, mv, quant, qv,
+                                  outs["dc"][g, i], nbh, nbv))
+    out.extend(encode_eos_packet(prev_link))
+    return bytes(out)

@@ -1,0 +1,91 @@
+"""GOP-parallel encode path: must be byte-identical to the sequential
+encoder in CRF with stable_refresh = gop-1 (the CLI default pairing,
+dsv_main.c:487-489), sharded or not; and always reference-decodable."""
+
+import jax
+import numpy as np
+import pytest
+
+from dsv1_tpu.constants import (RATE_CONTROL_CRF, SUBSAMP_420, SUBSAMP_422,
+                                quality_percent)
+from dsv1_tpu.models.encoder import Encoder, EncoderConfig
+from dsv1_tpu.models.metadata import Metadata
+from dsv1_tpu.ops.frame import np_yuv_split
+from dsv1_tpu.parallel import encode_stream_gops, gop_mesh
+from dsv1_tpu.utils.yuv import frame_size
+
+from . import corpus
+
+
+def _frames(yuv, w, h, subsamp, nframes):
+    fsz = frame_size(w, h, subsamp)
+    return [np_yuv_split(np.frombuffer(yuv[i * fsz:(i + 1) * fsz], np.uint8),
+                         subsamp, w, h) for i in range(nframes)]
+
+
+def _sequential(frames, meta, cfg):
+    enc = Encoder(meta, cfg)
+    enc.start()
+    return enc.encode_stream(frames)
+
+
+@pytest.mark.parametrize("subsamp,nframes,gop", [
+    (SUBSAMP_420, 10, 4),   # tail GOP of 2
+    (SUBSAMP_422, 8, 4),
+])
+def test_gop_parallel_matches_sequential(subsamp, nframes, gop):
+    w, h = 96, 80
+    yuv = corpus.make_clip(w, h, subsamp, nframes, seed=7)
+    frames = _frames(yuv, w, h, subsamp, nframes)
+    meta = Metadata(w, h, subsamp)
+    cfg = EncoderConfig(quality=quality_percent(70), gop=gop,
+                        rc_mode=RATE_CONTROL_CRF, stable_refresh=gop - 1)
+    seq = _sequential(frames, meta, cfg)
+    par = encode_stream_gops(frames, meta, cfg)
+    assert par == seq
+
+
+def test_gop_parallel_sharded_matches_sequential():
+    w, h, subsamp, nframes, gop = 96, 80, SUBSAMP_420, 10, 4
+    yuv = corpus.make_clip(w, h, subsamp, nframes, seed=9)
+    frames = _frames(yuv, w, h, subsamp, nframes)
+    meta = Metadata(w, h, subsamp)
+    cfg = EncoderConfig(quality=quality_percent(70), gop=gop,
+                        rc_mode=RATE_CONTROL_CRF, stable_refresh=gop - 1)
+    seq = _sequential(frames, meta, cfg)
+    mesh = gop_mesh(jax.devices())  # 8 virtual CPU devices (conftest)
+    par = encode_stream_gops(frames, meta, cfg, mesh=mesh)
+    assert par == seq
+
+
+def test_intra_parallel_matches_sequential():
+    w, h, subsamp, nframes = 96, 80, SUBSAMP_420, 5
+    yuv = corpus.make_clip(w, h, subsamp, nframes, seed=3)
+    frames = _frames(yuv, w, h, subsamp, nframes)
+    meta = Metadata(w, h, subsamp)
+    cfg = EncoderConfig(quality=quality_percent(70), gop=0,
+                        rc_mode=RATE_CONTROL_CRF, stable_refresh=1)
+    seq = _sequential(frames, meta, cfg)
+    par = encode_stream_gops(frames, meta, cfg)
+    assert par == seq
+
+
+def test_gop_parallel_scene_cut_ref_decodable(tmp_path):
+    """A hard scene cut mid-GOP forces intra; the parallel stream must
+    decode in the reference decoder (spec validity beyond byte parity)."""
+    w, h, subsamp, nframes, gop = 96, 80, SUBSAMP_420, 8, 4
+    rng = np.random.default_rng(5)
+    frames = []
+    fsz_c = (w // 2, h // 2)
+    for i in range(nframes):
+        lum = 40 if i < 5 else 200  # cut at frame 5 (mid-GOP)
+        y = np.clip(lum + rng.integers(-20, 20, (h, w)), 0, 255).astype(np.uint8)
+        u = np.full((fsz_c[1], fsz_c[0]), 120, np.uint8)
+        v = np.full((fsz_c[1], fsz_c[0]), 130, np.uint8)
+        frames.append((y, u, v))
+    meta = Metadata(w, h, subsamp)
+    cfg = EncoderConfig(quality=quality_percent(70), gop=gop,
+                        rc_mode=RATE_CONTROL_CRF, stable_refresh=gop - 1)
+    par = encode_stream_gops(frames, meta, cfg)
+    dec = corpus.ref_decode(par, tmp_path)
+    assert len(dec) == nframes * frame_size(w, h, subsamp)
