@@ -1,0 +1,74 @@
+"""Benchmark: CIF encode throughput at the reference's headline operating
+point (352x288, gop 12, qp 85 — reference README.md:25-33) vs the
+single-core reference C encoder (`cc -O3`, the only baseline the reference
+publishes; BASELINE.md).
+
+Prints one JSON line:
+  {"metric": "encode_fps_cif_gop12_qp85", "value": fps, "unit": "frames/s",
+   "vs_baseline": fps / reference_fps}
+"""
+
+import json
+import subprocess
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main():
+    from tests import corpus, oracle
+    from dsv1_tpu.constants import (RATE_CONTROL_CRF, SUBSAMP_420,
+                                    quality_percent)
+    from dsv1_tpu.models.encoder import EncoderConfig
+    from dsv1_tpu.models.metadata import Metadata
+    from dsv1_tpu.ops.frame import np_yuv_split
+    from dsv1_tpu.parallel import encode_stream_gops
+    from dsv1_tpu.utils.yuv import frame_size
+
+    w, h, subsamp, G = 352, 288, SUBSAMP_420, 12
+    n_frames = 96  # 8 GOPs
+    yuv = corpus.make_clip(w, h, subsamp, n_frames, seed=11)
+    fsz = frame_size(w, h, subsamp)
+    frames = [np_yuv_split(np.frombuffer(yuv[i * fsz:(i + 1) * fsz],
+                                         np.uint8), subsamp, w, h)
+              for i in range(n_frames)]
+    meta = Metadata(w, h, subsamp)
+    cfg = EncoderConfig(quality=quality_percent(85), gop=G,
+                        rc_mode=RATE_CONTROL_CRF, stable_refresh=G - 1)
+
+    # --- baseline: reference C encoder, single core (cc -O3)
+    oracle.build_oracle()
+    tmp = Path("/tmp/dsv1_bench")
+    tmp.mkdir(exist_ok=True)
+    inp = tmp / "in.yuv"
+    inp.write_bytes(yuv)
+    args = [str(oracle.BIN), "e", f"-inp_{inp}", f"-out_{tmp/'o.dsv'}",
+            f"-w{w}", f"-h{h}", "-fmt2", f"-nfr{n_frames}", f"-gop{G}",
+            "-qp85", "-rc_mode1", f"-stabref{G-1}", "-y"]
+    subprocess.run(args, check=True, capture_output=True)  # warm cache
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        subprocess.run(args, check=True, capture_output=True)
+    ref_fps = n_frames * reps / (time.perf_counter() - t0)
+
+    # --- ours: GOP-parallel TPU path (compile once, then steady state)
+    encode_stream_gops(frames, meta, cfg)  # warm-up / compile
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        stream = encode_stream_gops(frames, meta, cfg)
+    fps = n_frames * reps / (time.perf_counter() - t0)
+    assert len(stream) > 0
+
+    print(json.dumps({
+        "metric": "encode_fps_cif_gop12_qp85",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / ref_fps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ..constants import (FRAME_BORDER, MASK_ALL_INTRA, MODE_INTER,
                          format_h_shift, format_v_shift)
 from .frame import FrameLayout, flat_base
+from .opt import runtime, span_gather
 
 
 def _shift(ap, P: int, n: int, k: int):
@@ -84,7 +85,7 @@ def _block_avgs(ref_plane, nbh: int, nbv: int, bw: int, bh: int):
     a = ref_plane.astype(jnp.uint32)
     ii = jnp.pad(jnp.cumsum(jnp.cumsum(a, 0), 1), ((1, 0), (1, 0)))
 
-    bj, bi = jnp.mgrid[0:nbv, 0:nbh]
+    bj, bi = runtime(*jnp.mgrid[0:nbv, 0:nbh])  # see ops/opt.py
     x0 = bi * bw
     y0 = bj * bh
     cw = jnp.clip(pw - x0, 0, bw)
@@ -138,46 +139,63 @@ def compensate_plane(ref_img, ref_plane, layout: FrameLayout, c: int,
         ref_img, layout, c)
     n = ref_img.shape[0]
     vflat = variants.reshape(-1)
-
-    yy, xx = jnp.mgrid[0:ph, 0:pw]
-    bi = xx // bw
-    bj = yy // bh
-    bidx = bj * nbh + bi
-    mode = modes[bidx]
-    sub = submask[bidx]
-    dx = (mvx[bidx].astype(jnp.int32)) >> sh
-    dy = (mvy[bidx].astype(jnp.int32)) >> sv
-
-    # inter: clamped half-pel fetch (bmc.c:241-255)
-    px = jnp.clip(bi * bw + (dx >> 1), -FRAME_BORDER, limx)
-    py = jnp.clip(bj * bh + (dy >> 1), -FRAME_BORDER, limy)
-    sx = px + (xx - bi * bw)
-    sy = py + (yy - bj * bh)
-    phase = ((dx & 1) << 1) | (dy & 1)
+    S = p.stride
     base = flat_base(layout, c)
-    flat = base + sy * p.stride + sx
-    inter_val = vflat[phase * n + flat].astype(jnp.int32)
 
-    # intra: DC fills / zero-MV copies (bmc.c:256-298)
+    # Per-block fields expanded to the pixel grid by static-factor repeats
+    # (dense ops — per-pixel table gathers scalarize on TPU, ops/opt.py).
+    def up(blk2d):
+        return jnp.repeat(jnp.repeat(blk2d, bh, axis=0), bw,
+                          axis=1)[:ph, :pw]
+
+    m2 = modes.reshape(nbv, nbh)
+    sub2 = submask.reshape(nbv, nbh)
+    dx2 = (mvx.reshape(nbv, nbh).astype(jnp.int32)) >> sh
+    dy2 = (mvy.reshape(nbv, nbh).astype(jnp.int32)) >> sv
+
+    # --- inter (bmc.c:241-255): each (pixel row, block column) reads a
+    # contiguous bw-byte span of one half-pel variant -> span_gather.
+    dxr = jnp.repeat(dx2, bh, axis=0)[:ph]            # (ph, nbh)
+    dyr = jnp.repeat(dy2, bh, axis=0)[:ph]
+    ly_r = jnp.arange(ph) % bh
+    bj_r = jnp.arange(ph) // bh
+    px = jnp.clip(jnp.arange(nbh)[None, :] * bw + (dxr >> 1),
+                  -FRAME_BORDER, limx)
+    py = jnp.clip((bj_r * bh)[:, None] + (dyr >> 1),
+                  -FRAME_BORDER, limy) + ly_r[:, None]
+    phase = ((dxr & 1) << 1) | (dyr & 1)
+    row_start = phase * n + base + py * S + px        # (ph, nbh)
+    spans = span_gather(vflat, row_start.reshape(-1, 1), bw, S)
+    inter_val = spans.reshape(ph, nbh * bw)[:, :pw].astype(jnp.int32)
+
+    # --- intra: DC fills / zero-MV copies (bmc.c:256-298), all dense
     avg_full, avg_sub = _block_avgs(ref_plane, nbh, nbv, bw, bh)
-    cw = jnp.clip(pw - bi * bw, 0, bw)
-    ch = jnp.clip(ph - bj * bh, 0, bh)
-    sbw = cw // 2
-    sbh = ch // 2
-    lx = xx - bi * bw
-    ly = yy - bj * bh
-    qx = (lx >= sbw).astype(jnp.int32)
-    qy = (ly >= sbh).astype(jnp.int32)
-    in_sub = (lx < 2 * sbw) & (ly < 2 * sbh) & (sbw > 0) & (sbh > 0)
-    mask_bit = (sub >> (qy * 2 + qx)) & 1
-    ref_pix = ref_plane[yy, xx].astype(jnp.int32)
-    quad_avg = avg_sub[bj, bi, qy, qx]
+    mode_px = up(m2)
+    sub_px = up(sub2)
+    avgf_px = up(avg_full)
+    quads = [[up(avg_sub[:, :, qy_, qx_]) for qx_ in (0, 1)]
+             for qy_ in (0, 1)]
+    cw2 = jnp.clip(pw - jnp.arange(nbh) * bw, 0, bw)
+    ch2 = jnp.clip(ph - jnp.arange(nbv) * bh, 0, bh)
+    sbw_px = up(jnp.broadcast_to((cw2 // 2)[None, :], (nbv, nbh)))
+    sbh_px = up(jnp.broadcast_to((ch2 // 2)[:, None], (nbv, nbh)))
+    lx = (jnp.arange(pw) % bw)[None, :]
+    ly = ly_r[:, None]
+    qx = (lx >= sbw_px).astype(jnp.int32)
+    qy = (ly >= sbh_px).astype(jnp.int32)
+    in_sub = (lx < 2 * sbw_px) & (ly < 2 * sbh_px) \
+        & (sbw_px > 0) & (sbh_px > 0)
+    mask_bit = (sub_px >> (qy * 2 + qx)) & 1
+    quad_avg = jnp.where(qy == 0,
+                         jnp.where(qx == 0, quads[0][0], quads[0][1]),
+                         jnp.where(qx == 0, quads[1][0], quads[1][1]))
     intra_val = jnp.where(
-        sub == MASK_ALL_INTRA, avg_full[bj, bi],
+        sub_px == MASK_ALL_INTRA, avgf_px,
         jnp.where(~in_sub, 0,
-                  jnp.where(mask_bit == 1, quad_avg, ref_pix)))
+                  jnp.where(mask_bit == 1, quad_avg,
+                            ref_plane.astype(jnp.int32))))
 
-    pred = jnp.where(mode == MODE_INTER, inter_val, intra_val)
+    pred = jnp.where(mode_px == MODE_INTER, inter_val, intra_val)
     return pred.astype(jnp.uint8)
 
 

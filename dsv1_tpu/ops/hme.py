@@ -29,6 +29,7 @@ from ..constants import (FRAME_BORDER, HP_SAD_SZ, MASK_ALL_INTRA, MODE_INTER,
                          MODE_INTRA, format_h_shift, format_v_shift)
 from .bmc import hpel_variants_luma
 from .frame import FrameLayout, flat_base
+from .opt import runtime, span_gather
 
 INT_MAX = jnp.int32(2**31 - 1)
 
@@ -45,9 +46,8 @@ def _window(flat, layout: FrameLayout, c: int, bx, by, BW: int, BH: int):
     """Gather (nb, BH, BW) uint8 windows at per-block coords (flat C space)."""
     p = layout.planes[c]
     base = flat_base(layout, c)
-    idx = (base + (by[:, None, None] + jnp.arange(BH)[None, :, None]) * p.stride
-           + bx[:, None, None] + jnp.arange(BW)[None, None, :])
-    return flat[jnp.clip(idx, 0, flat.shape[0] - 1)]
+    s = base + (by[:, None] + jnp.arange(BH)[None, :]) * p.stride + bx[:, None]
+    return span_gather(flat, s, BW, p.stride)
 
 
 def _window_variants(vflat, n: int, layout: FrameLayout, phase, bx, by,
@@ -55,10 +55,9 @@ def _window_variants(vflat, n: int, layout: FrameLayout, phase, bx, by,
     """Gather windows from stacked half-pel variant planes (phase per block)."""
     p = layout.planes[0]
     base = flat_base(layout, 0)
-    idx = (base + (by[:, None, None] + jnp.arange(BH)[None, :, None]) * p.stride
-           + bx[:, None, None] + jnp.arange(BW)[None, None, :])
-    idx = phase[:, None, None] * n + jnp.clip(idx, 0, n - 1)
-    return vflat[idx]
+    s = (phase[:, None] * n + base
+         + (by[:, None] + jnp.arange(BH)[None, :]) * p.stride + bx[:, None])
+    return span_gather(vflat, s, BW, p.stride)
 
 
 def _masked_sad(a, b, colmask, rowmask):
@@ -180,8 +179,9 @@ def _refine_common(level: int, mvf, src_img, ref_img, layout: FrameLayout,
     ii = np.arange(0, nbh, step)
     jj = np.arange(0, nbv, step)
     gj, gi = jnp.meshgrid(jnp.asarray(jj), jnp.asarray(ii), indexing="ij")
-    gi_f = gi.reshape(-1)
-    gj_f = gj.reshape(-1)
+    # runtime-barrier the block grid so downstream window gathers never see
+    # constant indices (see ops/opt.py)
+    gi_f, gj_f = runtime(gi.reshape(-1), gj.reshape(-1))
     bx = (gi_f * blk_w) >> level
     by = (gj_f * blk_h) >> level
     inframe = (bx < w) & (by < h)

@@ -27,6 +27,7 @@ import numpy as np
 from ..constants import (BLOCK_P, CHROMA_LIMIT, MAXLVL, MINQUANT, NSUBBAND,
                          QP_I, QP_P, round_shift)
 from .cint import lb2, trunc_div
+from .opt import runtime
 from .sbt import get_quant
 
 
@@ -39,6 +40,14 @@ class TraversalTables:
     seg_bounds: np.ndarray  # int64[11] segment boundaries (LL + 9 bands)
     has_overlap: bool       # bands alias coefficients (odd ceil dims)
     n: int
+    nbh: int
+    nbv: int
+    # per segment: (lvl, oy, ox, sh, sw, row_onehot f32[sh,nbv],
+    #               col_onehot f32[nbh,sw]) — the traversal is a
+    # concatenation of rectangular rasters, so the device encode path
+    # uses static slices + tiny one-hot dots instead of a 150K-element
+    # permutation gather/scatter (which scalarizes on TPU, ops/opt.py)
+    segs: tuple = ()
 
 
 @lru_cache(maxsize=64)
@@ -53,20 +62,29 @@ def build_tables(W: int, H: int, nbh: int, nbv: int) -> TraversalTables:
             ox = sw if (s & 1) else 0
             oy = sh if (s & 2) else 0
             segs.append((lvl, oy, ox, sh, sw))
-    perms, levels, blks, bounds = [], [], [], [0]
+    perms, levels, blks, bounds, segs_out = [], [], [], [0], []
     for (lvl, oy, ox, sh, sw) in segs:
         ys, xs = np.mgrid[0:sh, 0:sw]
         perms.append(((oy + ys) * W + (ox + xs)).ravel().astype(np.int32))
         levels.append(np.full(sh * sw, lvl, np.int8))
+        row_oh = col_oh = None
         if lvl >= 0:
+            # 14-bit fixed-point block coordinate map (hzcc.c:59-74)
             dbx = (nbh << BLOCK_P) // sw
             dby = (nbv << BLOCK_P) // sh
             bi = (xs * dbx) >> BLOCK_P
             bj = (ys * dby) >> BLOCK_P
             blks.append((bj * nbh + bi).ravel().astype(np.int32))
+            bi_v = bi[0, :]
+            bj_v = bj[:, 0]
+            row_oh = (bj_v[:, None] == np.arange(nbv)[None, :]) \
+                .astype(np.float32)
+            col_oh = (np.arange(nbh)[:, None] == bi_v[None, :]) \
+                .astype(np.float32)
         else:
             blks.append(np.zeros(sh * sw, np.int32))
         bounds.append(bounds[-1] + sh * sw)
+        segs_out.append((lvl, oy, ox, sh, sw, row_oh, col_oh))
     perm = np.concatenate(perms)
     overlap = np.unique(perm).size != perm.size
     return TraversalTables(
@@ -76,6 +94,9 @@ def build_tables(W: int, H: int, nbh: int, nbv: int) -> TraversalTables:
         seg_bounds=np.asarray(bounds, np.int64),
         has_overlap=bool(overlap),
         n=int(perm.size),
+        nbh=nbh,
+        nbv=nbv,
+        segs=tuple(segs_out),
     )
 
 
@@ -139,7 +160,10 @@ def _position_tmq(tables: TraversalTables, q, is_p: bool, plane_idx: int,
     """Per-traversal-position quant parameter + shift-mode mask."""
     qp_ll, qp0, qp1, qp2, qp2h = frame_quants(q, is_p, plane_idx)
     lvl = xp.asarray(tables.level)
-    stable = xp.asarray(stable_blocks, jnp.int32)[xp.asarray(tables.blk)]
+    blk = xp.asarray(tables.blk)
+    if xp is jnp:
+        blk = runtime(blk)  # see ops/opt.py
+    stable = xp.asarray(stable_blocks, jnp.int32)[blk]
     is_hi = lvl == (MAXLVL - 1)
     tmq = xp.where(lvl == -1, qp_ll,
                    xp.where(lvl == 0, tmq4pos(qp0, stable),
@@ -155,38 +179,43 @@ def encode_plane_core(coefs, q, is_p: bool, plane_idx: int, stable_blocks,
 
     coefs: (H, W) int32 from fwd_sbt. Returns (qvals[N] traversal-ordered
     quantized values, recon coefs with dequantized write-back and raw DC).
+
+    The traversal is a concatenation of rectangular band rasters, so each
+    band is a static slice of the coefficient grid; the per-block adaptive
+    quant map is expanded per band with two tiny one-hot dots. Reading
+    from the progressively written-back grid reproduces the reference's
+    sequential band order even when odd ceil dims make bands alias
+    (hzcc.c:174,227,262 write-back visible to later positions).
     """
     coefs = jnp.asarray(coefs, jnp.int32)
     H, W = coefs.shape
     dc = coefs[0, 0]
-    flat = coefs.reshape(-1).at[0].set(0)  # hzcc.c:171 src[0] = 0
-    tmq, is_hi = _position_tmq(tables, q, is_p, plane_idx, stable_blocks)
-    perm = jnp.asarray(tables.perm)
-
-    def quant_band(vals, tmq_b, hi_b):
-        qv = jnp.where(hi_b, quant_hi(vals, tmq_b), quant_lo(vals, tmq_b))
-        wb = jnp.where(hi_b, dequant_hi(qv, tmq_b), dequant_lo(qv, tmq_b))
+    work = coefs.at[0, 0].set(0)  # hzcc.c:171 src[0] = 0
+    qp_ll, qp0, qp1, qp2, qp2h = frame_quants(q, is_p, plane_idx)
+    stable2d = jnp.asarray(stable_blocks, jnp.int32) \
+        .reshape(tables.nbv, tables.nbh).astype(jnp.float32)
+    qparts = []
+    for (lvl, oy, ox, sh, sw, row_oh, col_oh) in tables.segs:
+        vals = work[oy:oy + sh, ox:ox + sw]
+        if lvl == -1:
+            qv = quant_lo(vals, qp_ll)
+            wb = dequant_lo(qv, qp_ll)
+        else:
+            st = (jnp.asarray(row_oh) @ stable2d @ jnp.asarray(col_oh)) \
+                .astype(jnp.int32)  # (sh, sw), exact small ints
+            if lvl < MAXLVL - 1:
+                tmq = tmq4pos(qp0 if lvl == 0 else qp1, st)
+                qv = quant_lo(vals, tmq)
+                wb = dequant_lo(qv, tmq)
+            else:
+                s = jnp.where(st != 0, qp2h, qp2)
+                qv = quant_hi(vals, s)
+                wb = dequant_hi(qv, s)
         wb = jnp.where(qv == 0, 0, wb)
-        return qv, wb
-
-    if not tables.has_overlap:
-        vals = flat[perm]
-        qvals, wb = quant_band(vals, tmq, is_hi)
-        flat = flat.at[perm].set(wb)
-    else:
-        # Band boundaries alias (odd ceil dims): preserve the reference's
-        # sequential visit order — later bands re-quantize written-back values.
-        qparts = []
-        for s in range(len(tables.seg_bounds) - 1):
-            lo, hi = int(tables.seg_bounds[s]), int(tables.seg_bounds[s + 1])
-            p = perm[lo:hi]
-            qv, wb = quant_band(flat[p], tmq[lo:hi], is_hi[lo:hi])
-            flat = flat.at[p].set(wb)
-            qparts.append(qv)
-        qvals = jnp.concatenate(qparts)
-
-    flat = flat.at[0].set(dc)  # dsv_encode_plane restores raw DC
-    return qvals, flat.reshape(H, W)
+        work = work.at[oy:oy + sh, ox:ox + sw].set(wb)
+        qparts.append(qv.reshape(-1))
+    work = work.at[0, 0].set(dc)  # dsv_encode_plane restores raw DC
+    return jnp.concatenate(qparts), work
 
 
 def decode_plane_scatter(W: int, H: int, runs: np.ndarray, vals: np.ndarray,
