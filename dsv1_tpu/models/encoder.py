@@ -97,8 +97,7 @@ def make_prep(subsamp: int, w: int, h: int, levels: int):
             lay = layouts[i + 1]
             src = fr.plane_view_ext(imgs[-1], layouts[i], 0, 1)
             luma = fr.ds2x_luma(src, lay.planes[0].w, lay.planes[0].h)
-            z1 = jnp.zeros((lay.planes[1].h, lay.planes[1].w), jnp.uint8)
-            imgs.append(fr.image_from_planes(lay, [luma, z1, z1]))
+            imgs.append(fr.image_from_luma(lay, luma))
         al = fr.avg_luma(fr.plane_view(imgs[-1], layouts[-1], 0)) \
             if levels else jnp.int32(0)
         return imgs, al
@@ -190,6 +189,50 @@ def _jit_encode_core(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
                      nbh: int, nbv: int, has_ref: bool, want_recon: bool):
     return jax.jit(make_encode_core(subsamp, w, h, blk_w, blk_h, nbh, nbv,
                                     has_ref, want_recon))
+
+
+def make_encode_core_traced(subsamp: int, w: int, h: int, blk_w: int,
+                            blk_h: int, nbh: int, nbv: int):
+    """Pure fn like make_encode_core but with is_p as a traced operand
+    and recon always produced: a single compiled core serves both I and
+    P frames in the GOP scan (parallel/gop.py). Computing both level-1
+    transforms and selecting is far cheaper than duplicating the whole
+    core under a vmapped lax.cond (which executes both branches anyway).
+    """
+    layout, coef_dims, tables = coef_geometry(subsamp, w, h, nbh, nbv)
+
+    def f(input_img, ref_recon_img, is_p, quant, stable_blocks,
+          modes, mvx, mvy, submask):
+        qvals, dcs, recon_planes = [], [], []
+        for c in range(3):
+            p = layout.planes[c]
+            cw, ch = coef_dims[c]
+            src_ext = fr.plane_view_ext(input_img, layout, c, cw - p.w)
+            ref_plane = fr.plane_view(ref_recon_img, layout, c)
+            pred = bmc.compensate_plane(
+                ref_recon_img, ref_plane, layout, c, blk_w, blk_h,
+                nbh, nbv, modes, mvx, mvy, submask)
+            src_core = src_ext[:p.h, :p.w]
+            core = jnp.where(is_p, bmc.sub_residual(src_core, pred),
+                             src_core)
+            coefs = jnp.zeros((ch, cw), jnp.int32)
+            coefs = coefs.at[:p.h, :p.w].set(core.astype(jnp.int32) - 128)
+            if cw > p.w:
+                # p2sbc reads the replicated border column (original edge)
+                edge = src_ext[:p.h, p.w:cw].astype(jnp.int32) - 128
+                coefs = coefs.at[:p.h, p.w:cw].set(edge)
+            coefs = sbt.fwd_sbt(coefs, is_p)
+            qv, wb = hzcc.encode_plane_core(coefs, quant, is_p, c,
+                                            stable_blocks, tables[c])
+            qvals.append(qv)
+            dcs.append(coefs[0, 0])
+            rec = sbt.inv_sbt(wb, quant, is_p, is_luma=(c == 0))
+            rp = sbt.coefs_to_plane(rec)[:p.h, :p.w]
+            rp = jnp.where(is_p, bmc.add_residual(pred, rp), rp)
+            recon_planes.append(rp)
+        return qvals, dcs, fr.image_from_planes(layout, recon_planes)
+
+    return f
 
 
 def pack_picture(fnum: int, blk_w: int, blk_h: int, stable: np.ndarray,

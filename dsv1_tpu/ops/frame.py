@@ -140,6 +140,16 @@ def image_from_planes(layout: FrameLayout, planes):
     return img
 
 
+def image_from_luma(layout: FrameLayout, luma):
+    """Extended image with only the luma plane populated (pyramid levels:
+    chroma stays zero like the reference's calloc'd pyramid frames)."""
+    img = alloc_image(layout)
+    img = set_plane(img, layout, 0, luma)
+    if layout.border:
+        img = extend_plane(img, layout, 0)
+    return img
+
+
 def flat_base(layout: FrameLayout, c: int):
     """Flat index (into the margined array) of plane c's pixel (0, 0)."""
     return layout.margin + layout.planes[c].offset

@@ -108,8 +108,8 @@ def fix_quant(q, plane_idx: int):
     return q
 
 
-def frame_quants(q, is_p: bool, plane_idx: int):
-    """Per-level quant parameters for one plane.
+def frame_quants(q, is_p, plane_idx: int):
+    """Per-level quant parameters for one plane (is_p may be traced).
 
     Returns (qp_ll, qp0, qp1, qp2_shift, qp2h_shift) — the last two are
     shift amounts for the finest level (hzcc.c:199-208).
@@ -119,7 +119,7 @@ def frame_quants(q, is_p: bool, plane_idx: int):
     qp0 = qp_ll
     qp1 = get_quant(qf, is_p, 1)
     qp2 = lb2(get_quant(qf, is_p, 2))
-    qp2h = jnp.clip(qp2 - (QP_P if is_p else QP_I), 1, 24)
+    qp2h = jnp.clip(qp2 - jnp.where(is_p, QP_P, QP_I), 1, 24)
     return qp_ll, qp0, qp1, qp2, qp2h
 
 
@@ -172,8 +172,8 @@ def _position_tmq(tables: TraversalTables, q, is_p: bool, plane_idx: int,
     return tmq.astype(jnp.int32), is_hi
 
 
-@partial(jax.jit, static_argnums=(2, 3, 5))
-def encode_plane_core(coefs, q, is_p: bool, plane_idx: int, stable_blocks,
+@partial(jax.jit, static_argnums=(3, 5))
+def encode_plane_core(coefs, q, is_p, plane_idx: int, stable_blocks,
                       tables: TraversalTables):
     """Device quantize + in-loop write-back (hzcc_enc, hzcc.c:138-293).
 

@@ -36,11 +36,11 @@ def nlevels(w: int, h: int) -> int:
     return lb2_static(max(w, h))
 
 
-def get_quant(q, is_p: bool, level):
-    """C.2.2 get_quant_lower_frequency (hzcc.c:77-92). q may be traced."""
+def get_quant(q, is_p, level):
+    """C.2.2 get_quant_lower_frequency (hzcc.c:77-92). q and is_p may be
+    traced (a python-bool is_p constant-folds to the same HLO)."""
     q = jnp.asarray(q, jnp.int32)
-    if is_p:
-        q = trunc_div(q * 3, 2)
+    q = jnp.where(is_p, trunc_div(q * 3, 2), q)
     if isinstance(level, int):
         if level == 1:
             q = trunc_div(q * 2, 3)
@@ -61,8 +61,8 @@ def _pad_even(r, ws: int, hs: int):
     return r
 
 
-def _haar_fwd_level(a, W: int, H: int, lvl: int, is_i: bool):
-    """C.3.1.2 Haar forward, one level (sbt.c:267-349)."""
+def _haar_fwd_level(a, W: int, H: int, lvl: int, is_i):
+    """C.3.1.2 Haar forward, one level (sbt.c:267-349). is_i may be traced."""
     ws = round_shift(W, lvl - 1)
     hs = round_shift(H, lvl - 1)
     r = _pad_even(a[:hs, :ws], ws, hs)
@@ -71,8 +71,10 @@ def _haar_fwd_level(a, W: int, H: int, lvl: int, is_i: bool):
     x2 = r[1::2, 0::2]
     x3 = r[1::2, 1::2]
     LL = x0 + x1 + x2 + x3
-    if is_i or lvl > 1:  # LVL_TEST (sbt.c:22)
+    if lvl > 1:  # LVL_TEST (sbt.c:22)
         LL = trunc_div(LL * 4, 5)  # FWD_SCALE
+    else:
+        LL = jnp.where(is_i, trunc_div(LL * 4, 5), LL)
     LH = x0 - x1 + x2 - x3
     HL = x0 + x1 - x2 - x3
     HH = x0 - x1 - x2 + x3
@@ -85,20 +87,24 @@ def _haar_fwd_level(a, W: int, H: int, lvl: int, is_i: bool):
     return a
 
 
-def _haar_inv_level(a, W: int, H: int, lvl: int, is_i: bool,
+def _haar_inv_level(a, W: int, H: int, lvl: int, is_i,
                     filtered: bool = False, hqp=None):
     """C.3.1.3/C.3.1.4 Haar inverse, one level (sbt.c:351-574).
 
     filtered=True applies the luma smoothing filter with bound ±hqp.
+    is_i may be traced.
     """
     ws = round_shift(W, lvl - 1)
     hs = round_shift(H, lvl - 1)
     cw, ch = (ws + 1) // 2, (hs + 1) // 2
     fw, fh = ws // 2, hs // 2
-    scale = is_i or lvl > 1
 
-    def inv_scale(v):
-        return trunc_div(v * 5, 4) if scale else v
+    if lvl > 1:
+        def inv_scale(v):
+            return trunc_div(v * 5, 4)
+    else:
+        def inv_scale(v):
+            return jnp.where(is_i, trunc_div(v * 5, 4), v)
 
     LL = inv_scale(a[0:ch, 0:cw])
     LH = jnp.pad(a[0:ch, cw:cw + fw], ((0, 0), (0, cw - fw)))
@@ -198,20 +204,30 @@ def _b4t_inv_2d(a):
     return _b4t_inv_axis(_b4t_inv_axis(a, 0), 1)
 
 
-def fwd_sbt(coefs, is_p: bool):
-    """dsv_fwd_sbt (sbt.c:630-651) on centered int32 coefs of shape (H, W)."""
+def fwd_sbt(coefs, is_p):
+    """dsv_fwd_sbt (sbt.c:630-651) on centered int32 coefs of shape (H, W).
+
+    is_p may be traced: level 1 then computes both B4T (intra) and Haar
+    and selects — one extra level of work, which lets a whole GOP scan
+    share a single compiled core for I and P frames (parallel/gop.py).
+    """
     H, W = coefs.shape
     lvls = nlevels(W, H)
     a = jnp.asarray(coefs, jnp.int32)
     for i in range(1, lvls + 1):
-        if not is_p and i == 1:
-            a = _b4t_fwd_2d(a)
+        if i == 1:
+            if isinstance(is_p, bool):
+                a = _haar_fwd_level(a, W, H, i, not is_p) if is_p \
+                    else _b4t_fwd_2d(a)
+            else:
+                a = jnp.where(is_p, _haar_fwd_level(a, W, H, i, ~is_p),
+                              _b4t_fwd_2d(a))
         else:
-            a = _haar_fwd_level(a, W, H, i, not is_p)
+            a = _haar_fwd_level(a, W, H, i, True)
     return a
 
 
-def _hqp_for_level(q, is_p: bool, i: int):
+def _hqp_for_level(q, is_p, i: int):
     """C.3.1.4 get_HQP (sbt.c:667-696). Returns traced int32."""
     llq = trunc_div(get_quant(q, is_p, 0), 2)
     if i > 3:
@@ -219,25 +235,38 @@ def _hqp_for_level(q, is_p: bool, i: int):
     hqp = get_quant(q, is_p, MAXLVL - i)
     if i == 1:
         hqp = lb2(hqp)
-        hqp = jnp.clip(hqp - (QP_P if is_p else QP_I), 1, 24)
+        hqp = jnp.clip(hqp - jnp.where(is_p, QP_P, QP_I), 1, 24)
         hqp = jnp.left_shift(jnp.int32(1), hqp)
         hqp = hqp >> 1
     return trunc_div(hqp, 2)
 
 
-def inv_sbt(coefs, q, is_p: bool, is_luma: bool):
-    """dsv_inv_sbt (sbt.c:653-714) on int32 coefs; q may be traced."""
+def inv_sbt(coefs, q, is_p, is_luma: bool):
+    """dsv_inv_sbt (sbt.c:653-714) on int32 coefs; q and is_p may be
+    traced (level 1 computes both inverse transforms and selects when
+    is_p is traced)."""
     H, W = coefs.shape
     lvls = nlevels(W, H)
     a = jnp.asarray(coefs, jnp.int32)
     for i in range(lvls, 0, -1):
-        if not is_p and i == 1:
-            a = _b4t_inv_2d(a)
-        elif is_luma:
-            a = _haar_inv_level(a, W, H, i, not is_p,
-                                filtered=True, hqp=_hqp_for_level(q, is_p, i))
+        if i > 1:
+            a = _haar_inv_level(a, W, H, i, True, filtered=is_luma,
+                                hqp=_hqp_for_level(q, is_p, i)
+                                if is_luma else None)
         else:
-            a = _haar_inv_level(a, W, H, i, not is_p)
+            if isinstance(is_p, bool):
+                if is_p:
+                    a = _haar_inv_level(a, W, H, 1, False,
+                                        filtered=is_luma,
+                                        hqp=_hqp_for_level(q, is_p, 1)
+                                        if is_luma else None)
+                else:
+                    a = _b4t_inv_2d(a)
+            else:
+                ah = _haar_inv_level(a, W, H, 1, ~is_p, filtered=is_luma,
+                                     hqp=_hqp_for_level(q, is_p, 1)
+                                     if is_luma else None)
+                a = jnp.where(is_p, ah, _b4t_inv_2d(a))
     return a
 
 

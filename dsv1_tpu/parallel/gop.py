@@ -44,7 +44,8 @@ from ..models.bitstream import (encode_eos_packet, encode_metadata_packet,
                                 set_link_offsets)
 from ..models.encoder import (EncoderConfig, _pyr_layouts,
                               auto_pyramid_levels, make_encode_core,
-                              make_prep, pack_picture, size4dim)
+                              make_encode_core_traced, make_prep,
+                              pack_picture, size4dim)
 from ..models.metadata import Metadata
 from ..ops import frame as fr
 from ..ops.hme import hme as hme_run
@@ -61,41 +62,45 @@ def block_geometry(w: int, h: int):
     return blk_w, blk_h, div_round(w, blk_w), div_round(h, blk_h)
 
 
+def _wrap16(x):
+    """int16 two's-complement wrap on int32 values (the reference stores
+    the accumulators as int16, dsv_encoder.h:101-106). Kept in int32 on
+    device: sub-32-bit scan carries fault the Mosaic compiler on TPU."""
+    return ((x + 0x8000) & 0xFFFF) - 0x8000
+
+
 def _stable_update(stability, refresh_ctr, is_p, mv, stable_refresh: int):
     """Device mirror of the stability accumulator logic
-    (encode_stable_blocks, dsv_encoder.c:329-400). int16 wrap semantics.
+    (encode_stable_blocks, dsv_encoder.c:329-400). int16 wrap semantics
+    on an int32 (nblk, 2) carry.
 
     Returns (stability', refresh_ctr', stable_blocks u8 bit0=stable
     bit1=intra)."""
     reset = refresh_ctr >= stable_refresh
     refresh_ctr = jnp.where(reset, 0, refresh_ctr)
-    stability = jnp.where(reset, jnp.int16(0), stability)
+    stability = jnp.where(reset, 0, stability)
     avgdiv = jnp.maximum(refresh_ctr, 1)
     sx0, sy0 = stability[:, 0], stability[:, 1]
     mode = mv["mode"].reshape(-1)
     inter = mode == MODE_INTER
     # P branch: accumulate quarter-pel magnitudes on inter blocks
-    sxp = jnp.where(inter, sx0.astype(jnp.int32)
-                    + (jnp.abs(mv["mvx"].reshape(-1)) >> 2),
-                    sx0.astype(jnp.int32)).astype(jnp.int16)
-    syp = jnp.where(inter, sy0.astype(jnp.int32)
-                    + (jnp.abs(mv["mvy"].reshape(-1)) >> 2),
-                    sy0.astype(jnp.int32)).astype(jnp.int16)
-    axp = jnp.sign(sxp.astype(jnp.int32)) * \
-        (jnp.abs(sxp.astype(jnp.int32)) // avgdiv)
-    ayp = jnp.sign(syp.astype(jnp.int32)) * \
-        (jnp.abs(syp.astype(jnp.int32)) // avgdiv)
+    sxp = _wrap16(jnp.where(inter,
+                            sx0 + (jnp.abs(mv["mvx"].reshape(-1)) >> 2),
+                            sx0))
+    syp = _wrap16(jnp.where(inter,
+                            sy0 + (jnp.abs(mv["mvy"].reshape(-1)) >> 2),
+                            sy0))
+    axp = jnp.sign(sxp) * (jnp.abs(sxp) // avgdiv)
+    ayp = jnp.sign(syp) * (jnp.abs(syp) // avgdiv)
     lo = (mv["lo_tex"].reshape(-1) != 0) | (mv["lo_var"].reshape(-1) != 0)
     stable_p = (mv["high_detail"].reshape(-1) != 0) \
         | ((axp == 0) & (ayp == 0) & ~lo)
     stable_p &= inter
-    sxp = jnp.where(lo, jnp.int16(0x3FFF), sxp)
-    syp = jnp.where(lo, jnp.int16(0x3FFF), syp)
+    sxp = jnp.where(lo, 0x3FFF, sxp)
+    syp = jnp.where(lo, 0x3FFF, syp)
     # I branch: accumulators untouched
-    axi = jnp.sign(sx0.astype(jnp.int32)) * \
-        (jnp.abs(sx0.astype(jnp.int32)) // avgdiv)
-    ayi = jnp.sign(sy0.astype(jnp.int32)) * \
-        (jnp.abs(sy0.astype(jnp.int32)) // avgdiv)
+    axi = jnp.sign(sx0) * (jnp.abs(sx0) // avgdiv)
+    ayi = jnp.sign(sy0) * (jnp.abs(sy0) // avgdiv)
     stable_i = (axi == 0) & (ayi == 0)
 
     stable = jnp.where(is_p, stable_p, stable_i)
@@ -113,7 +118,7 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
                       pyramid_levels: int = 0):
     """Pure fn encoding one closed CRF GOP of G frames on device.
 
-    f(y[G,h,w]u8, u, v, prev_al0 i32, stab0[nblk,2]i16, refresh0 i32)
+    f(y[G,h,w]u8, u, v, prev_al0 i32, stab0[nblk,2]i32, refresh0 i32)
       -> (per-frame outputs dict stacked over G, final (stab, refresh, al))
     vmap over a leading GOP axis for multi-GOP batches.
     """
@@ -122,10 +127,7 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
     stable_refresh = stable_refresh or max(1, min(G - 1, 14))
     layouts = list(_pyr_layouts(subsamp, w, h, levels))
     prep = make_prep(subsamp, w, h, levels)
-    core_p = make_encode_core(subsamp, w, h, blk_w, blk_h, nbh, nbv,
-                              has_ref=True, want_recon=True)
-    core_i = make_encode_core(subsamp, w, h, blk_w, blk_h, nbh, nbv,
-                              has_ref=False, want_recon=True)
+    core = make_encode_core_traced(subsamp, w, h, blk_w, blk_h, nbh, nbv)
     quant = crf_quant(quality)
 
     def zero_mv():
@@ -143,11 +145,13 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
             # check_scene_change (dsv_encoder.c:538-554)
             has_ref &= jnp.abs(prev_al - al) <= scd_delta
             prev_al = al
-        mv = lax.cond(
-            has_ref,
-            lambda: hme_run(imgs, list(ref_pyr), layouts, blk_w, blk_h,
-                            nbh, nbv, subsamp, levels),
-            zero_mv)
+        # HME runs unconditionally: under vmap a lax.cond computes both
+        # branches anyway, and when has_ref is False every consumer of mv
+        # is masked out (stability takes the I branch, the core's is_p
+        # selects raw source, motion substreams aren't packed), so this
+        # is byte-equivalent to the reference's conditional call.
+        mv = hme_run(imgs, list(ref_pyr), layouts, blk_w, blk_h,
+                     nbh, nbv, subsamp, levels)
         # forced intra promotion (motion_est, dsv_encoder.c:219-254)
         has_ref &= mv["intra_pct"] <= intra_thresh
         stability, refresh_ctr, stable_blocks = _stable_update(
@@ -155,10 +159,8 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
         margs = (mv["mode"].reshape(-1), mv["mvx"].reshape(-1),
                  mv["mvy"].reshape(-1), mv["submask"].reshape(-1))
         q = jnp.int32(quant)
-        qvals, dcs, recon = lax.cond(
-            has_ref,
-            lambda: core_p(imgs[0], ref_recon, q, stable_blocks, *margs),
-            lambda: core_i(imgs[0], ref_recon, q, stable_blocks, *margs))
+        qvals, dcs, recon = core(imgs[0], ref_recon, has_ref, q,
+                                 stable_blocks, *margs)
         refresh_ctr = refresh_ctr + has_ref.astype(jnp.int32)
         out = {
             "qvals": tuple(qvals),
@@ -318,7 +320,7 @@ def encode_stream_gops(frames, meta: Metadata,
         bv = np.stack([frames[min(i, N - 1)][2] for i in bidx])
         prev_al[1:ngops] = np.asarray(al_fn(by, bu, bv))
 
-    stab0 = np.zeros((npad_gops, nbh * nbv, 2), np.int16)
+    stab0 = np.zeros((npad_gops, nbh * nbv, 2), np.int32)
     refresh0 = np.zeros(npad_gops, np.int32)
     fn = _jit_batched(subsamp, w, h, G, cfg.quality, cfg.do_scd,
                       cfg.scene_change_delta, cfg.intra_pct_thresh,
