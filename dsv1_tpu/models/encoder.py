@@ -267,7 +267,9 @@ def pack_picture(fnum: int, blk_w: int, blk_h: int, stable: np.ndarray,
     wtr.align()
     wtr.put_bits(MAX_QP_BITS, quant)
     for ci in range(3):
-        encode_plane_bits(wtr, np.asarray(qvals3[ci]), int(dcs3[ci]))
+        q3 = qvals3[ci]
+        encode_plane_bits(wtr, q3 if isinstance(q3, tuple)
+                          else np.asarray(q3), int(dcs3[ci]))
     wtr.align()
     return bytearray(wtr.getvalue())
 

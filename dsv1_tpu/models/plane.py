@@ -35,8 +35,12 @@ def interleave_symbols(runs: np.ndarray, vals: np.ndarray):
     return codes, lens
 
 
-def encode_plane_bits(w: BitWriter, qvals: np.ndarray, dc: int):
-    """Serialize one plane's symbols into the writer (hzcc.c:449-476)."""
+def encode_plane_bits(w: BitWriter, qvals, dc: int):
+    """Serialize one plane's symbols into the writer (hzcc.c:449-476).
+
+    qvals: dense traversal-ordered quantized values, or a precomputed
+    (runs, vals) pair (e.g. from the device-side nonzero compaction in
+    parallel/gop.py)."""
     w.align()
     startp = w.byte_pos
     w.put_bits(32, 0)  # length placeholder
@@ -46,7 +50,10 @@ def encode_plane_bits(w: BitWriter, qvals: np.ndarray, dc: int):
     nruns_bitpos = w.pos
     w.put_bits(32, 0)  # nruns placeholder
     w.align()
-    runs, vals = hzcc.runs_from_qvals(qvals)
+    if isinstance(qvals, tuple):
+        runs, vals = qvals
+    else:
+        runs, vals = hzcc.runs_from_qvals(qvals)
     codes, lens = interleave_symbols(runs, vals)
     w.put_symbols(codes, lens)
     w.align()
