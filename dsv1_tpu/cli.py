@@ -15,6 +15,7 @@ import numpy as np
 
 from . import constants as C
 from .models.decoder import DEC_EOS, DEC_GOT_META, DEC_OK, Decoder
+from .utils import log
 from .models.encoder import Encoder, EncoderConfig
 from .models.metadata import Metadata
 from .utils.bitrate import estimate_bitrate
@@ -79,6 +80,8 @@ def enc_params():
               "stability refresh period (0 = auto)"),
         Param("scd", 1, 0, 1, None, "scene change detection"),
         Param("schdelta", 4, 0, 256, None, "scene change luma delta"),
+        Param("gopar", 1, 0, 1, None,
+              "GOP-parallel device encode (CRF only). 1 = default"),
     ]
 
 
@@ -118,6 +121,7 @@ def _parse(argv, params):
             continue
         if a.startswith("l") and a[1:].isdigit():
             opts["l"] = int(a[1:])
+            log.set_level(opts["l"])
             continue
         if a.startswith("inp_"):
             opts["inp"] = a[4:]
@@ -186,27 +190,45 @@ def encode_main(argv) -> int:
         intra_pct_thresh=_get(params, "ipct"),
         scene_change_delta=_get(params, "schdelta"),
         stable_refresh=stabref, pyramid_levels=_get(params, "pyrlevels"))
-    enc = Encoder(meta, cfg)
-    enc.start()
     frno = _get(params, "sfr")
     nfr = _get(params, "nfr")
     maxframe = frno + nfr if nfr > 0 else -1
-    out = bytearray()
     nencoded = 0
-    with open(opts["inp"], "rb") as f:
-        while True:
-            if maxframe > 0 and frno >= maxframe:
-                break
-            planes = read_frame(f, frno, w, h, subsamp)
-            if planes is None:
-                break
-            if opts["v"]:
-                print(f"encoding frame {frno}", end="\r", flush=True)
-            for pkt in enc.encode(planes):
-                out += pkt
-            frno += 1
-            nencoded += 1
-    out += enc.end_of_stream()
+    use_par = (bool(_get(params, "gopar"))
+               and rc_mode == C.RATE_CONTROL_CRF)
+    if use_par:
+        # GOP-parallel device path (parallel/gop.py): CRF streams are
+        # independent of packed byte counts, so whole GOPs encode as
+        # device-resident scans, batched and sharded across chips.
+        frames = []
+        with open(opts["inp"], "rb") as f:
+            while maxframe <= 0 or frno < maxframe:
+                planes = read_frame(f, frno, w, h, subsamp)
+                if planes is None:
+                    break
+                frames.append(planes)
+                frno += 1
+        from .parallel import encode_stream_gops
+        nencoded = len(frames)
+        out = bytearray(encode_stream_gops(frames, meta, cfg))
+    else:
+        enc = Encoder(meta, cfg)
+        enc.start()
+        out = bytearray()
+        with open(opts["inp"], "rb") as f:
+            while True:
+                if maxframe > 0 and frno >= maxframe:
+                    break
+                planes = read_frame(f, frno, w, h, subsamp)
+                if planes is None:
+                    break
+                if opts["v"]:
+                    print(f"encoding frame {frno}", end="\r", flush=True)
+                for pkt in enc.encode(planes):
+                    out += pkt
+                frno += 1
+                nencoded += 1
+        out += enc.end_of_stream()
     if opts["v"] and nencoded:
         fps = (meta.fps_num + meta.fps_den // 2) // meta.fps_den
         bpf = len(out) * 8 // nencoded

@@ -153,20 +153,22 @@ def compensate_plane(ref_img, ref_plane, layout: FrameLayout, c: int,
     dx2 = (mvx.reshape(nbv, nbh).astype(jnp.int32)) >> sh
     dy2 = (mvy.reshape(nbv, nbh).astype(jnp.int32)) >> sv
 
-    # --- inter (bmc.c:241-255): each (pixel row, block column) reads a
-    # contiguous bw-byte span of one half-pel variant -> span_gather.
-    dxr = jnp.repeat(dx2, bh, axis=0)[:ph]            # (ph, nbh)
-    dyr = jnp.repeat(dy2, bh, axis=0)[:ph]
-    ly_r = jnp.arange(ph) % bh
-    bj_r = jnp.arange(ph) // bh
-    px = jnp.clip(jnp.arange(nbh)[None, :] * bw + (dxr >> 1),
-                  -FRAME_BORDER, limx)
-    py = jnp.clip((bj_r * bh)[:, None] + (dyr >> 1),
-                  -FRAME_BORDER, limy) + ly_r[:, None]
-    phase = ((dxr & 1) << 1) | (dyr & 1)
-    row_start = phase * n + base + py * S + px        # (ph, nbh)
-    spans = span_gather(vflat, row_start.reshape(-1, 1), bw, S)
-    inter_val = spans.reshape(ph, nbh * bw)[:, :pw].astype(jnp.int32)
+    # --- inter (bmc.c:241-255): each block reads bh contiguous bw-byte
+    # spans of one half-pel variant -> one span_gather over (nblk, bh).
+    # (Per-block spans keep the one-hot alignment tensor small — a
+    # per-pixel-row formulation needs ph*nbh spans and gigabyte-scale
+    # selection masks at 1080p.)
+    px = jnp.clip(jnp.arange(nbh)[None, :] * bw + (dx2 >> 1),
+                  -FRAME_BORDER, limx)                # (nbv, nbh)
+    py0 = jnp.clip((jnp.arange(nbv) * bh)[:, None] + (dy2 >> 1),
+                   -FRAME_BORDER, limy)
+    phase = ((dx2 & 1) << 1) | (dy2 & 1)
+    start0 = (phase * n + base + py0 * S + px).reshape(-1)   # (nblk,)
+    row_start = start0[:, None] + (jnp.arange(bh) * S)[None, :]
+    spans = span_gather(vflat, row_start, bw, S)      # (nblk, bh, bw)
+    inter_full = spans.reshape(nbv, nbh, bh, bw).transpose(0, 2, 1, 3) \
+        .reshape(nbv * bh, nbh * bw)
+    inter_val = inter_full[:ph, :pw].astype(jnp.int32)
 
     # --- intra: DC fills / zero-MV copies (bmc.c:256-298), all dense
     avg_full, avg_sub = _block_avgs(ref_plane, nbh, nbv, bw, bh)
@@ -180,7 +182,7 @@ def compensate_plane(ref_img, ref_plane, layout: FrameLayout, c: int,
     sbw_px = up(jnp.broadcast_to((cw2 // 2)[None, :], (nbv, nbh)))
     sbh_px = up(jnp.broadcast_to((ch2 // 2)[:, None], (nbv, nbh)))
     lx = (jnp.arange(pw) % bw)[None, :]
-    ly = ly_r[:, None]
+    ly = (jnp.arange(ph) % bh)[:, None]
     qx = (lx >= sbw_px).astype(jnp.int32)
     qy = (ly >= sbh_px).astype(jnp.int32)
     in_sub = (lx < 2 * sbw_px) & (ly < 2 * sbh_px) \

@@ -316,12 +316,17 @@ def encode_stream_gops(frames, meta: Metadata,
     # D2H transfer + entropy packing of chunk k overlap device compute
     # of chunk k+1 (JAX dispatch is async; device_get of a finished
     # chunk runs while the next executable computes).
+    # Per-device GOP batch sized by pixel budget (HBM headroom: 4 CIF
+    # GOPs/device fit comfortably; 1080p needs one GOP per device).
+    per_dev = max(1, min(4, (4 * 352 * 288 * 12) // max(G * w * h, 1),
+                         ngops))
     if mesh is not None:
-        chunk = mesh.devices.size
+        nd = mesh.devices.size
+        chunk = per_dev * nd
         key = id(mesh)
         _MESHES[key] = mesh
     else:
-        chunk = min(4, ngops)
+        chunk = per_dev
         key = None
     npad_gops = div_round(ngops, chunk) * chunk
 
