@@ -130,24 +130,38 @@ def extend_frame(img, layout: FrameLayout):
     return img
 
 
+def _ext_plane_rows(plane2d, p: PlaneGeom):
+    """One plane's full row block: edge-replicated border + zero stride
+    tail, flattened (equivalent to set_plane + extend_plane)."""
+    full = plane2d.astype(jnp.uint8)
+    if p.ext:
+        full = jnp.pad(full, ((p.ext, p.ext), (p.ext, p.ext)), mode="edge")
+    tail = p.stride - full.shape[1]
+    if tail:
+        full = jnp.pad(full, ((0, 0), (0, tail)))
+    return full.reshape(-1)
+
+
 def image_from_planes(layout: FrameLayout, planes):
-    """Build an extended image from three (h, w) planes."""
-    img = alloc_image(layout)
+    """Build an extended image from three (h, w) planes as one concat
+    (plane row blocks are contiguous in the flat layout)."""
+    segs = [jnp.zeros(layout.margin, jnp.uint8)]
     for c in range(3):
-        img = set_plane(img, layout, c, planes[c])
-    if layout.border:
-        img = extend_frame(img, layout)
-    return img
+        segs.append(_ext_plane_rows(planes[c], layout.planes[c]))
+    segs.append(jnp.zeros(layout.margin, jnp.uint8))
+    return jnp.concatenate(segs)
 
 
 def image_from_luma(layout: FrameLayout, luma):
     """Extended image with only the luma plane populated (pyramid levels:
     chroma stays zero like the reference's calloc'd pyramid frames)."""
-    img = alloc_image(layout)
-    img = set_plane(img, layout, 0, luma)
-    if layout.border:
-        img = extend_plane(img, layout, 0)
-    return img
+    p0 = layout.planes[0]
+    rest = layout.total - p0.stride * (p0.h + 2 * p0.ext)
+    return jnp.concatenate([
+        jnp.zeros(layout.margin, jnp.uint8),
+        _ext_plane_rows(luma, p0),
+        jnp.zeros(rest + layout.margin, jnp.uint8),
+    ])
 
 
 def flat_base(layout: FrameLayout, c: int):

@@ -68,25 +68,25 @@ def neg_codes(v):
 
 
 class BitWriter:
-    """MSB-first bit writer backed by a growable bit array (one uint8 per bit).
+    """MSB-first bit writer backed by a growable byte buffer.
 
     Mirrors DSV_BS semantics (bs.c:21-126) including byte alignment and
-    aligned byte concatenation; adds a vectorized put_symbols() used for
-    entropy-coded symbol streams.
+    aligned byte concatenation; put_symbols() appends whole entropy-coded
+    symbol streams through the native packer (native/dsvbits.cpp) —
+    memcpy-speed instead of one numpy element per bit.
     """
 
     def __init__(self, capacity_bits: int = 1 << 16):
-        self._bits = np.zeros(capacity_bits, dtype=np.uint8)
+        self._buf = np.zeros(max(capacity_bits >> 3, 64), dtype=np.uint8)
         self.pos = 0  # bit position
 
     def _ensure(self, nbits: int):
-        need = self.pos + nbits
-        if need > self._bits.size:
-            cap = max(need, self._bits.size * 2)
-            nb = np.zeros(cap, dtype=np.uint8)
-            n = min(self.pos, self._bits.size)
-            nb[:n] = self._bits[:n]
-            self._bits = nb
+        need = (self.pos + nbits + 7) >> 3
+        if need > self._buf.size:
+            nb = np.zeros(max(need, self._buf.size * 2), dtype=np.uint8)
+            n = min((self.pos + 7) >> 3, self._buf.size)
+            nb[:n] = self._buf[:n]
+            self._buf = nb
 
     def align(self):
         self.pos = (self.pos + 7) & ~7
@@ -95,15 +95,22 @@ class BitWriter:
     def byte_pos(self) -> int:
         return self.pos >> 3
 
+    def _set_bit(self, bitpos: int, b: int):
+        mask = 1 << (7 - (bitpos & 7))
+        if b & 1:
+            self._buf[bitpos >> 3] |= mask
+        else:
+            self._buf[bitpos >> 3] &= 0xFF ^ mask
+
     def put_bit(self, b: int):
         self._ensure(1)
-        self._bits[self.pos] = b & 1
+        self._set_bit(self.pos, b)
         self.pos += 1
 
     def put_bits(self, n: int, value: int):
         self._ensure(n)
         for i in range(n - 1, -1, -1):
-            self._bits[self.pos] = (value >> i) & 1
+            self._set_bit(self.pos, (value >> i) & 1)
             self.pos += 1
 
     def put_ueg(self, v: int):
@@ -119,41 +126,33 @@ class BitWriter:
         self.put_symbols(codes, lens)
 
     def put_symbols(self, codes, lens):
-        """Append a stream of (code, bitlength) symbols, vectorized."""
+        """Append a stream of (code, bitlength) symbols (native packer)."""
+        from .. import bits as native_bits
         codes = np.asarray(codes, dtype=np.uint64)
         lens = np.asarray(lens, dtype=np.int64)
         total = int(lens.sum())
         if total == 0:
             return
         self._ensure(total)
-        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        rep_starts = np.repeat(starts, lens)
-        within = np.arange(total, dtype=np.int64) - rep_starts
-        rep_codes = np.repeat(codes, lens)
-        rep_lens = np.repeat(lens, lens)
-        shift = (rep_lens - 1 - within).astype(np.uint64)
-        bits = ((rep_codes >> shift) & np.uint64(1)).astype(np.uint8)
-        self._bits[self.pos : self.pos + total] = bits
-        self.pos += total
+        self.pos = native_bits.pack_symbols(codes, lens, self._buf, self.pos)
 
     def concat_bytes(self, data: bytes):
         """Aligned byte concat (bs.c:37-46)."""
         assert (self.pos & 7) == 0
         arr = np.frombuffer(data, dtype=np.uint8)
-        nbits = arr.size * 8
-        self._ensure(nbits)
-        self._bits[self.pos : self.pos + nbits] = np.unpackbits(arr)
-        self.pos += nbits
+        self._ensure(arr.size * 8)
+        bp = self.pos >> 3
+        self._buf[bp:bp + arr.size] = arr
+        self.pos += arr.size * 8
 
     def patch_bits(self, bitpos: int, n: int, value: int):
-        """Overwrite n bits at an absolute bit position (for length backpatch)."""
+        """Overwrite n bits at an absolute bit position (length backpatch)."""
         for i in range(n):
-            self._bits[bitpos + i] = (value >> (n - 1 - i)) & 1
+            self._set_bit(bitpos + i, (value >> (n - 1 - i)) & 1)
 
     def getvalue(self) -> bytes:
         self.align()
-        self._ensure(0)
-        return np.packbits(self._bits[: self.pos]).tobytes()
+        return self._buf[: self.pos >> 3].tobytes()
 
 
 class BitReader:

@@ -241,13 +241,16 @@ def _refine_common(level: int, mvf, src_img, ref_img, layout: FrameLayout,
     bdx = jnp.clip(bdx, -bw_c - bx, w - bx)
     bdy = jnp.clip(bdy, -bh_c - by, h - by)
 
-    # 9-point refine (hme.c:526-541) — no validity checks in the reference
+    # 9-point refine (hme.c:526-541) — no validity checks in the reference.
+    # One (BH+2, BW+2) padded window per block; the 9 shifted views are
+    # static slices (saves 8 window gathers per level).
     xx = bx + bdx
     yy = by + bdy
+    padw = _window(ref_img, layout, 0, xx - 1, yy - 1, BW + 2, BH + 2)
     s9 = []
     for k in range(9):
-        refw = _window(ref_img, layout, 0, xx + int(XF[k]), yy + int(YF[k]),
-                       BW, BH)
+        oy, ox = int(YF[k]) + 1, int(XF[k]) + 1
+        refw = padw[:, oy:oy + BH, ox:ox + BW]
         s9.append(_masked_sad(srcw, refw, colmask, rowmask))
     s9 = jnp.stack(s9, axis=1)
     m9 = jnp.argmin(s9, axis=1)
