@@ -251,11 +251,20 @@ def decode_main(argv) -> int:
         return 1
     to420 = bool(_get(params, "out420p"))
     drawinfo = _get(params, "drawinfo")
-    dec = Decoder(draw_info=drawinfo)
     stream = open(opts["inp"], "rb").read()
+    if drawinfo:
+        # overlays need per-frame block data: sequential path
+        dec = Decoder(draw_info=drawinfo)
+        decoded = dec.decode_stream(stream)
+        get_meta = dec.get_metadata
+    else:
+        from .parallel import decode_stream_gops
+        meta_b, frames = decode_stream_gops(stream)
+        decoded = iter(frames)
+        get_meta = lambda: meta_b  # noqa: E731
     with open(opts["out"], "wb") as f:
-        for fno, planes in dec.decode_stream(stream):
-            meta = dec.get_metadata()
+        for fno, planes in decoded:
+            meta = get_meta()
             if to420 and meta.subsamp != C.SUBSAMP_420:
                 y, u, v = planes
                 if meta.subsamp == C.SUBSAMP_444:

@@ -65,11 +65,9 @@ def encode_plane_bits(w: BitWriter, qvals, dc: int):
     return endp - startp
 
 
-def decode_plane_bits(buf: np.ndarray, plane_len: int, W: int, H: int,
-                      q: int, is_p: bool, plane_idx: int,
-                      stable_blocks: np.ndarray,
-                      tables: hzcc.TraversalTables):
-    """Parse + dequantize one plane section -> (H, W) int32 coefficients.
+def parse_plane_bits(buf: np.ndarray, plane_len: int,
+                     tables: hzcc.TraversalTables):
+    """Parse one plane section -> (dc, runs, vals) without dequantizing.
 
     buf: byte array starting at the plane section (after the u32 length).
     """
@@ -80,6 +78,18 @@ def decode_plane_bits(buf: np.ndarray, plane_len: int, W: int, H: int,
     runs, vals, _nruns, _end = bits.parse_hzcc(
         buf[hzcc_off:], max(plane_len - hzcc_off, 0), tables.n
     )
+    return dc, runs, vals
+
+
+def decode_plane_bits(buf: np.ndarray, plane_len: int, W: int, H: int,
+                      q: int, is_p: bool, plane_idx: int,
+                      stable_blocks: np.ndarray,
+                      tables: hzcc.TraversalTables):
+    """Parse + dequantize one plane section -> (H, W) int32 coefficients.
+
+    buf: byte array starting at the plane section (after the u32 length).
+    """
+    dc, runs, vals = parse_plane_bits(buf, plane_len, tables)
     return hzcc.decode_plane_scatter(
         W, H, runs, vals, q, is_p, plane_idx, stable_blocks, dc, tables
     )

@@ -218,6 +218,35 @@ def encode_plane_core(coefs, q, is_p, plane_idx: int, stable_blocks,
     return jnp.concatenate(qparts), work
 
 
+def dequant_plane_grid(qgrid, dc, q, is_p, plane_idx: int, stable_blocks,
+                       tables: TraversalTables):
+    """Device dequantize of a quantized-value grid (decode side of
+    hzcc_dec, hzcc.c:296-435). qgrid: (H, W) int quantized values already
+    scattered in grid order (host parse, last-wins over band aliases like
+    the reference's sequential visit order); dc: raw DC. is_p/q may be
+    traced. Mirrors decode_plane_scatter exactly, band by band.
+    """
+    qgrid = jnp.asarray(qgrid, jnp.int32)
+    qp_ll, qp0, qp1, qp2, qp2h = frame_quants(q, is_p, plane_idx)
+    stable2d = jnp.asarray(stable_blocks, jnp.int32) \
+        .reshape(tables.nbv, tables.nbh).astype(jnp.float32)
+    out = jnp.zeros_like(qgrid)
+    for (lvl, oy, ox, sh, sw, row_oh, col_oh) in tables.segs:
+        vals = qgrid[oy:oy + sh, ox:ox + sw]
+        if lvl == -1:
+            dq = dequant_lo(vals, qp_ll)
+        else:
+            st = (jnp.asarray(row_oh) @ stable2d @ jnp.asarray(col_oh)) \
+                .astype(jnp.int32)
+            if lvl < MAXLVL - 1:
+                dq = dequant_lo(vals, tmq4pos(qp0 if lvl == 0 else qp1, st))
+            else:
+                dq = dequant_hi(vals, jnp.where(st != 0, qp2h, qp2))
+        dq = jnp.where(vals == 0, 0, dq)
+        out = out.at[oy:oy + sh, ox:ox + sw].set(dq)
+    return out.at[0, 0].set(jnp.asarray(dc, jnp.int32))
+
+
 def decode_plane_scatter(W: int, H: int, runs: np.ndarray, vals: np.ndarray,
                          q: int, is_p: bool, plane_idx: int,
                          stable_blocks: np.ndarray, dc: int,

@@ -7,8 +7,9 @@ maps GOPs onto a `jax.sharding.Mesh` axis and keeps each GOP's serial
 recon-chain on a single device as a `lax.scan`.
 """
 
+from .decode import build_gop_decoder, decode_stream_gops
 from .gop import (build_gop_encoder, build_intra_encoder, gop_mesh,
                   encode_stream_gops)
 
-__all__ = ["build_gop_encoder", "build_intra_encoder", "gop_mesh",
-           "encode_stream_gops"]
+__all__ = ["build_gop_decoder", "build_gop_encoder", "build_intra_encoder",
+           "decode_stream_gops", "encode_stream_gops", "gop_mesh"]

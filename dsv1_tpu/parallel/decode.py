@@ -1,0 +1,280 @@
+"""GOP-parallel TPU decode path.
+
+Mirror of the encode design (parallel/gop.py): a closed chain of pictures
+(an I frame and its dependent P frames) is serially coupled through the
+reference frame (dsv_decoder.c:422-456), so one chain = one device
+`lax.scan`; independent chains batch along a vmapped leading axis and
+shard over mesh axis 'gop'.
+
+Split of labor per picture:
+- host (native/dsvbits.cpp + numpy): packet demux, header fields,
+  stability ZBRLE, motion substreams with the raster MV predictor
+  (dsv_decoder.c:73-145), HZCC symbol parse, and the grid scatter of
+  quantized values (last-wins over band aliases, matching the
+  reference's sequential visit order);
+- device: per-band dequantization, inverse subband transforms, whole-
+  plane half-pel motion compensation and residual add — all inside the
+  scan, with is_p as a traced operand (one compiled step for I and P).
+
+Quantized grids upload as int16 (values above +/-32767 cannot appear in
+real streams' AC bands, but a corrupt stream could synthesize them — the
+driver falls back to the sequential decoder if any parsed value
+overflows).
+"""
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from ..constants import (MAX_QP_BITS, MIN_BLOCK_SIZE, MAX_BLOCK_SIZE,
+                         MODE_INTRA, PT_EOS, PT_META, div_round, pt_has_ref,
+                         pt_is_pic, pt_is_ref)
+from .. import bits
+from ..models.bitstream import iter_packets, parse_metadata, parse_packet_hdr
+from ..models.encoder import coef_geometry
+from ..models.metadata import Metadata
+from ..models.plane import parse_plane_bits
+from ..ops import bmc, frame as fr, hzcc, sbt
+from ..ops.golomb import BitReader
+
+
+@lru_cache(maxsize=8)
+def build_gop_decoder(subsamp: int, w: int, h: int, L: int,
+                      blk_w: int, blk_h: int):
+    """Pure fn decoding one chain of L pictures on device.
+
+    f(qgrids (3x [L,ch,cw] i16), dcs [L,3] i32, quants [L] i32,
+      is_p [L] bool, stable [L,nblk] u8, modes/mvx/mvy/submask [L,nblk])
+      -> planes tuple of 3 [L,h,w] u8
+    """
+    nbh = div_round(w, blk_w)
+    nbv = div_round(h, blk_h)
+    layout, coef_dims, tables = coef_geometry(subsamp, w, h, nbh, nbv)
+
+    def step(ref_img, xs):
+        qgrids, dcs, quant, is_p, is_ref, stable, modes, mvx, mvy, \
+            submask = xs
+        outs = []
+        for c in range(3):
+            p = layout.planes[c]
+            coefs = hzcc.dequant_plane_grid(
+                qgrids[c], dcs[c], quant, is_p, c, stable, tables[c])
+            rec = sbt.inv_sbt(coefs, quant, is_p, is_luma=(c == 0))
+            rp = sbt.coefs_to_plane(rec)[:p.h, :p.w]
+            ref_plane = fr.plane_view(ref_img, layout, c)
+            pred = bmc.compensate_plane(
+                ref_img, ref_plane, layout, c, blk_w, blk_h, nbh, nbv,
+                modes, mvx, mvy, submask)
+            outs.append(jnp.where(is_p, bmc.add_residual(pred, rp), rp))
+        new_img = fr.image_from_planes(layout, outs)
+        # ref retention (dsv_decoder.c:438-456): only is_ref pictures
+        # replace the reference
+        new_img = jnp.where(is_ref, new_img, ref_img)
+        return new_img, tuple(outs)
+
+    def run(qg0, qg1, qg2, dcs, quants, is_p, is_ref, stable,
+            modes, mvx, mvy, submask):
+        carry0 = fr.alloc_image(layout)
+        xs = ((qg0, qg1, qg2), dcs, quants, is_p, is_ref, stable,
+              modes, mvx, mvy, submask)
+        _, outs = lax.scan(step, carry0, xs)
+        return outs
+
+    return run
+
+
+@lru_cache(maxsize=8)
+def _jit_batched_dec(subsamp, w, h, L, blk_w, blk_h, mesh_key):
+    run = build_gop_decoder(subsamp, w, h, L, blk_w, blk_h)
+    vrun = jax.vmap(run)
+    if mesh_key is None:
+        return jax.jit(vrun)
+    mesh = _MESHES[mesh_key]
+    shard = NamedSharding(mesh, PartitionSpec("gop"))
+    return jax.jit(vrun, in_shardings=(shard,) * 12, out_shardings=shard)
+
+
+_MESHES: dict = {}
+
+
+def _parse_picture(data: bytes, meta: Metadata):
+    """Host parse of one picture packet -> dict (dsv_decoder.c:286-412)."""
+    pkt_type = parse_packet_hdr(data)
+    arr = np.frombuffer(data, np.uint8)
+    r = BitReader(data)
+    r.skip_bytes(14)
+    fno = r.get_bits(32)
+    r.align()
+    blk_w = r.get_ueg() << 2
+    blk_h = r.get_ueg() << 2
+    if not (MIN_BLOCK_SIZE <= blk_w <= MAX_BLOCK_SIZE
+            and MIN_BLOCK_SIZE <= blk_h <= MAX_BLOCK_SIZE):
+        raise ValueError("bad block dims")
+    nbh = div_round(meta.width, blk_w)
+    nbv = div_round(meta.height, blk_h)
+    has_ref = pt_has_ref(pkt_type)
+
+    r.align()
+    slen = r.get_ueg()
+    r.align()
+    stable = bits.zbrle_decode(arr[r.byte_pos:r.byte_pos + slen], nbh * nbv)
+    r.skip_bytes(slen)
+
+    n = nbh * nbv
+    modes = np.zeros(n, np.uint8)
+    mvx = np.zeros(n, np.int16)
+    mvy = np.zeros(n, np.int16)
+    submask = np.zeros(n, np.uint8)
+    if has_ref:
+        r.align()
+        subs = []
+        for _ in range(4):
+            ln = r.get_ueg()
+            r.align()
+            subs.append(arr[r.byte_pos:r.byte_pos + ln])
+            r.skip_bytes(ln)
+            r.align()
+        modes, mvx, mvy, submask = bits.decode_motion(
+            subs[0], subs[1], subs[2], subs[3], nbh, nbv)
+        stable = stable | ((modes == MODE_INTRA).astype(np.uint8) << 1)
+
+    r.align()
+    quant = r.get_bits(MAX_QP_BITS)
+
+    layout, coef_dims, tables = coef_geometry(meta.subsamp, meta.width,
+                                              meta.height, nbh, nbv)
+    qgrids, dcs, overflow = [], [], False
+    for c in range(3):
+        cw, ch = coef_dims[c]
+        r.align()
+        plen = r.get_bits(32)
+        r.align()
+        if plen <= 0 or plen > cw * ch * 4 * 2:
+            raise ValueError("bad plane length")
+        dc, runs, vals = parse_plane_bits(arr[r.byte_pos:], plen, tables[c])
+        r.skip_bytes(plen)
+        grid = np.zeros(cw * ch, np.int16)
+        if runs.size:
+            pos = np.cumsum(runs.astype(np.int64) + 1) - 1
+            keep = pos < tables[c].n
+            v = vals[:runs.size][keep]
+            if v.size and np.abs(v).max() > 32767:
+                overflow = True
+            # last-wins over band aliases (reference visit order)
+            grid[tables[c].perm[pos[keep]]] = v.astype(np.int16)
+        qgrids.append(grid.reshape(ch, cw))
+        dcs.append(dc)
+    return dict(fno=fno, blk_w=blk_w, blk_h=blk_h, has_ref=has_ref,
+                is_ref=pt_is_ref(pkt_type), quant=quant, stable=stable,
+                modes=modes, mvx=mvx, mvy=mvy, submask=submask,
+                qgrids=qgrids, dcs=np.asarray(dcs, np.int32),
+                overflow=overflow)
+
+
+def decode_stream_gops(stream: bytes, mesh: Mesh | None = None):
+    """Decode a .dsv stream with chains of pictures batched on device.
+
+    Returns (metadata, [(fno, [y, u, v]), ...] in stream order). Falls
+    back to the sequential decoder for streams the batched path cannot
+    express (no metadata, int16 overflow, mid-stream geometry change).
+    """
+    meta = None
+    frames = []
+    for _t, pkt in iter_packets(stream):
+        t = parse_packet_hdr(pkt)
+        if t == PT_META:
+            meta = parse_metadata(pkt)
+        elif t == PT_EOS:
+            break
+        elif pt_is_pic(t) and meta is not None:
+            frames.append(_parse_picture(pkt, meta))
+    if meta is None or not frames:
+        return meta, []
+    if (any(f["overflow"] for f in frames)
+            or len({(f["blk_w"], f["blk_h"]) for f in frames}) != 1):
+        from ..models.decoder import Decoder
+        dec = Decoder()
+        return meta, [(fno, planes)
+                      for fno, planes in dec.decode_stream(stream)]
+
+    # split into chains: every no-ref picture starts one
+    chains = []
+    for i, f in enumerate(frames):
+        if not f["has_ref"] or not chains:
+            chains.append([i])
+        else:
+            chains[-1].append(i)
+    L = max(len(c) for c in chains)
+    blk_w, blk_h = frames[0]["blk_w"], frames[0]["blk_h"]
+    nblk = frames[0]["stable"].size
+    w, h, subsamp = meta.width, meta.height, meta.subsamp
+    _, coef_dims, _ = coef_geometry(subsamp, w, h,
+                                    div_round(w, blk_w), div_round(h, blk_h))
+
+    per_dev = max(1, min(4, (4 * 352 * 288 * 12) // max(L * w * h, 1),
+                         len(chains)))
+    if mesh is not None:
+        chunk = per_dev * mesh.devices.size
+        key = id(mesh)
+        _MESHES[key] = mesh
+    else:
+        chunk = per_dev
+        key = None
+    fn = _jit_batched_dec(subsamp, w, h, L, blk_w, blk_h, key)
+
+    nc = len(chains)
+    npad = div_round(nc, chunk) * chunk
+    results = [None] * len(frames)
+
+    def pack_chunk(s):
+        qg = [np.zeros((chunk, L, ch, cw), np.int16)
+              for (cw, ch) in coef_dims]
+        dcs = np.zeros((chunk, L, 3), np.int32)
+        quants = np.zeros((chunk, L), np.int32)
+        is_p = np.zeros((chunk, L), bool)
+        is_ref = np.zeros((chunk, L), bool)
+        stable = np.zeros((chunk, L, nblk), np.uint8)
+        mo = np.zeros((chunk, L, nblk), np.int32)
+        mx = np.zeros((chunk, L, nblk), np.int32)
+        my = np.zeros((chunk, L, nblk), np.int32)
+        sb = np.zeros((chunk, L, nblk), np.int32)
+        for cl in range(chunk):
+            ci = s + cl
+            if ci >= nc:
+                break
+            for k, fi in enumerate(chains[ci]):
+                f = frames[fi]
+                for c in range(3):
+                    qg[c][cl, k] = f["qgrids"][c]
+                dcs[cl, k] = f["dcs"]
+                quants[cl, k] = f["quant"]
+                is_p[cl, k] = f["has_ref"]
+                is_ref[cl, k] = f["is_ref"]
+                stable[cl, k] = f["stable"]
+                mo[cl, k] = f["modes"]
+                mx[cl, k] = f["mvx"]
+                my[cl, k] = f["mvy"]
+                sb[cl, k] = f["submask"]
+        return (qg[0], qg[1], qg[2], dcs, quants, is_p, is_ref, stable,
+                mo, mx, my, sb)
+
+    starts = list(range(0, npad, chunk))
+    inflight = {}
+    if starts:
+        inflight[starts[0]] = fn(*pack_chunk(starts[0]))
+    for si, s in enumerate(starts):
+        if si + 1 < len(starts):
+            inflight[starts[si + 1]] = fn(*pack_chunk(starts[si + 1]))
+        outs = jax.device_get(inflight.pop(s))
+        for cl in range(chunk):
+            ci = s + cl
+            if ci >= nc:
+                break
+            for k, fi in enumerate(chains[ci]):
+                results[fi] = (frames[fi]["fno"],
+                               [outs[c][cl, k] for c in range(3)])
+    return meta, results
