@@ -43,9 +43,9 @@ from ..constants import (GOP_INTRA, MAX_BLOCK_SIZE, MAX_QUALITY,
 from ..models.bitstream import (encode_eos_packet, encode_metadata_packet,
                                 set_link_offsets)
 from ..models.encoder import (EncoderConfig, _pyr_layouts,
-                              auto_pyramid_levels, make_encode_core,
-                              make_encode_core_traced, make_prep,
-                              pack_picture, size4dim)
+                              auto_pyramid_levels, coef_geometry,
+                              make_encode_core, make_encode_core_traced,
+                              make_prep, pack_picture, size4dim)
 from ..models.metadata import Metadata
 from ..ops import frame as fr
 from ..ops.hme import hme as hme_run
@@ -122,12 +122,12 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
       -> (per-frame outputs dict stacked over G, final (stab, refresh, al))
     vmap over a leading GOP axis for multi-GOP batches.
 
-    compact > 0: each plane's quantized values are returned as a dense
-    int8 array plus an exception list for |v| > 127 (capped at `compact`
-    entries) — the device->host link runs at ~45 MB/s through the
-    tunnel, so shrinking the dominant transfer 4x nearly doubles e2e
-    throughput. An exception count above the cap signals overflow and
-    the caller falls back to a compact=0 (dense int32) variant.
+    compact != 0: each plane's quantized values are returned as a dense
+    int8 array plus a count of |v| > 127 values — the device->host link
+    runs at ~45 MB/s through the tunnel, so shrinking the dominant
+    transfer 4x nearly doubles e2e throughput. A nonzero count signals
+    int8 overflow (possible only at extreme quality settings) and the
+    caller re-runs that batch with a compact=0 (dense int32) variant.
     """
     blk_w, blk_h, nbh, nbv = block_geometry(w, h)
     levels = pyramid_levels or auto_pyramid_levels(w, h, nbh, nbv)
@@ -136,6 +136,8 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
     prep = make_prep(subsamp, w, h, levels)
     core = make_encode_core_traced(subsamp, w, h, blk_w, blk_h, nbh, nbv)
     quant = crf_quant(quality)
+    ll_sizes = [int(t.seg_bounds[1])
+                for t in coef_geometry(subsamp, w, h, nbh, nbv)[2]]
 
     def zero_mv():
         z = jnp.zeros((nbv, nbh), jnp.int32)
@@ -177,16 +179,28 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
             "has_ref": has_ref,
         }
         if compact:
+            # int8 + exceptions: values beyond int8 live (essentially
+            # only) in the small LL region at the head of the traversal;
+            # extract those exactly and just count any elsewhere (that
+            # count triggers the caller's dense fallback).
             comp = []
-            for qv in qvals:
-                n = qv.shape[0]
+            for qv, ll_n in zip(qvals, ll_sizes):
                 q8 = jnp.clip(qv, -128, 127).astype(jnp.int8)
-                big = jnp.abs(qv) > 127
-                pos = jnp.nonzero(big, size=compact, fill_value=n)[0] \
+                ll = qv[:ll_n]
+                big_ll = jnp.abs(ll) > 127
+                K = min(256, ll_n)
+                # fill points past the whole plane so the host filter
+                # (pos < plane size) drops padding entries
+                pos = jnp.nonzero(big_ll, size=K,
+                                  fill_value=qv.shape[0])[0] \
                     .astype(jnp.int32)
-                vs = jnp.where(pos < n, qv[jnp.clip(pos, 0, n - 1)], 0)
-                comp.append((q8, pos, vs,
-                             jnp.sum(big.astype(jnp.int32))))
+                vs = jnp.where(pos < ll_n, ll[jnp.clip(pos, 0, ll_n - 1)],
+                               0)
+                nbig = (jnp.sum((jnp.abs(qv[ll_n:]) > 127)
+                                .astype(jnp.int32))
+                        + jnp.maximum(jnp.sum(big_ll.astype(jnp.int32))
+                                      - K, 0))
+                comp.append((q8, pos, vs, nbig))
             out["qcomp"] = tuple(comp)
         else:
             out["qvals"] = tuple(qvals)
@@ -370,9 +384,8 @@ def encode_stream_gops(frames, meta: Metadata,
             inflight[starts[ci + 1]] = dispatch(starts[ci + 1])
         outs, _ = jax.device_get(inflight.pop(s))
         if "qcomp" in outs:
-            overflow = any(
-                np.any(outs["qcomp"][c][3] > outs["qcomp"][c][1].shape[-1])
-                for c in range(3))
+            overflow = any(np.any(outs["qcomp"][c][3] > 0)
+                           for c in range(3))
             if overflow:
                 # rare (dense planes): redo this batch with dense outputs
                 full = _jit_batched(subsamp, w, h, G, cfg.quality,
@@ -384,11 +397,11 @@ def encode_stream_gops(frames, meta: Metadata,
         def plane_q(gl, i, c):
             if "qvals" in outs:
                 return outs["qvals"][c][gl, i]
-            q8, pos, vals, cnt = outs["qcomp"][c]
+            q8, pos, vals, _ = outs["qcomp"][c]
             qv = q8[gl, i].astype(np.int32)
-            n_exc = int(cnt[gl, i])
-            if n_exc:
-                qv[pos[gl, i][:n_exc]] = vals[gl, i][:n_exc]
+            p = pos[gl, i]
+            sel = p < qv.size
+            qv[p[sel]] = vals[gl, i][sel]
             return qv
 
         for gl in range(chunk):
