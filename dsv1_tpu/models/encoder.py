@@ -529,6 +529,41 @@ class Encoder:
         self.prev_link = 0
         return pkt
 
+    # ------------------------------------------------ checkpoint / resume
+    _STATE_SCALARS = (
+        "rc_quant", "bpf_total", "bpf_reset", "bpf_avg", "total_P_frame_q",
+        "avg_P_frame_q", "last_P_frame_over", "back_into_range", "next_fnum",
+        "prev_gop", "prev_avg_luma", "refresh_ctr", "prev_link",
+        "force_metadata", "_levels")
+
+    def state_dict(self) -> dict:
+        """Complete inter-frame state for resumable encode: the DSV_ENCODER
+        scalars + stability accumulators + recon/pyramid reference frames
+        (dsv_encoder.h:58-110; SURVEY.md §5 checkpoint/resume). Everything
+        is host data — safe to pickle/ship to another host."""
+        s = {k: getattr(self, k) for k in self._STATE_SCALARS}
+        s["stability"] = None if self.stability is None else self.stability.copy()
+        s["stable_blocks"] = (None if self.stable_blocks is None
+                              else self.stable_blocks.copy())
+        s["ref_recon"] = (None if self._ref_recon is None
+                          else np.asarray(self._ref_recon))
+        s["ref_pyr"] = (None if self._ref_pyr is None
+                        else [np.asarray(x) for x in self._ref_pyr])
+        return s
+
+    def load_state_dict(self, s: dict):
+        """Resume from state_dict(); the continuation is byte-identical to
+        an uninterrupted encode (tested)."""
+        for k in self._STATE_SCALARS:
+            setattr(self, k, s[k])
+        self.stability = None if s["stability"] is None else s["stability"].copy()
+        self.stable_blocks = (None if s["stable_blocks"] is None
+                              else s["stable_blocks"].copy())
+        self._ref_recon = (None if s["ref_recon"] is None
+                           else jnp.asarray(s["ref_recon"]))
+        self._ref_pyr = (None if s["ref_pyr"] is None
+                         else [jnp.asarray(x) for x in s["ref_pyr"]])
+
     def encode_stream(self, frames) -> bytes:
         """Encode an iterable of (y, u, v) frames into a full .dsv stream."""
         out = bytearray()

@@ -279,7 +279,8 @@ _MESHES: dict = {}
 
 def encode_stream_gops(frames, meta: Metadata,
                        cfg: EncoderConfig | None = None,
-                       mesh: Mesh | None = None) -> bytes:
+                       mesh: Mesh | None = None,
+                       gops_per_device: int = 0) -> bytes:
     """Encode frames into a full .dsv stream, GOPs in parallel.
 
     frames: sequence of (y, u, v) uint8 planar arrays. CRF only (ABR's
@@ -330,10 +331,10 @@ def encode_stream_gops(frames, meta: Metadata,
     # D2H transfer + entropy packing of chunk k overlap device compute
     # of chunk k+1 (JAX dispatch is async; device_get of a finished
     # chunk runs while the next executable computes).
-    # Per-device GOP batch sized by pixel budget (HBM headroom: 4 CIF
+    # Per-device GOP batch sized by pixel budget (HBM headroom: 8 CIF
     # GOPs/device fit comfortably; 1080p needs one GOP per device).
-    per_dev = max(1, min(4, (4 * 352 * 288 * 12) // max(G * w * h, 1),
-                         ngops))
+    per_dev = gops_per_device or max(
+        1, min(4, (4 * 352 * 288 * 12) // max(G * w * h, 1), ngops))
     if mesh is not None:
         nd = mesh.devices.size
         chunk = per_dev * nd
