@@ -122,11 +122,16 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
       -> (per-frame outputs dict stacked over G, final (stab, refresh, al))
     vmap over a leading GOP axis for multi-GOP batches.
 
-    compact != 0: each plane's quantized values are returned as a dense
-    int8 array plus a count of |v| > 127 values — the device->host link
-    runs at ~45 MB/s through the tunnel, so shrinking the dominant
-    transfer 4x nearly doubles e2e throughput. A nonzero count signals
-    int8 overflow (possible only at extreme quality settings) and the
+    The GOP's I frame is unrolled out of the scan: its has_ref is a
+    compile-time False, so XLA folds away motion estimation, prediction
+    and the dual level-1 transform select for it.
+
+    compact != 0 shrinks the dominant device->host transfer (the tunnel
+    link runs at ~45 MB/s): the I frame's quantized planes return as
+    dense int8 plus an LL-region exception list (intra planes are dense
+    but values are small outside LL), while each P frame's planes return
+    as capped (position, value) nonzero lists (P planes are sparse but
+    can hold large values). Overflow of either cap is counted and the
     caller re-runs that batch with a compact=0 (dense int32) variant.
     """
     blk_w, blk_h, nbh, nbv = block_geometry(w, h)
@@ -145,74 +150,90 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
                 "lo_tex": z, "lo_var": z, "high_detail": z,
                 "nintra": jnp.int32(0), "intra_pct": jnp.int32(0)}
 
-    def step(carry, xs):
-        ref_recon, ref_pyr, stability, refresh_ctr, prev_al = carry
-        (y, u, v), first = xs
-        imgs, al = prep((y, u, v))
-        has_ref = ~first
-        if do_scd:
-            # check_scene_change (dsv_encoder.c:538-554)
-            has_ref &= jnp.abs(prev_al - al) <= scd_delta
-            prev_al = al
-        # HME runs unconditionally: under vmap a lax.cond computes both
-        # branches anyway, and when has_ref is False every consumer of mv
-        # is masked out (stability takes the I branch, the core's is_p
-        # selects raw source, motion substreams aren't packed), so this
-        # is byte-equivalent to the reference's conditional call.
-        mv = hme_run(imgs, list(ref_pyr), layouts, blk_w, blk_h,
-                     nbh, nbv, subsamp, levels)
-        # forced intra promotion (motion_est, dsv_encoder.c:219-254)
-        has_ref &= mv["intra_pct"] <= intra_thresh
-        stability, refresh_ctr, stable_blocks = _stable_update(
-            stability, refresh_ctr, has_ref, mv, stable_refresh)
-        margs = (mv["mode"].reshape(-1), mv["mvx"].reshape(-1),
-                 mv["mvy"].reshape(-1), mv["submask"].reshape(-1))
-        q = jnp.int32(quant)
-        qvals, dcs, recon = core(imgs[0], ref_recon, has_ref, q,
-                                 stable_blocks, *margs)
-        refresh_ctr = refresh_ctr + has_ref.astype(jnp.int32)
-        out = {
-            "dc": jnp.stack([jnp.asarray(d, jnp.int32) for d in dcs]),
-            "mode": mv["mode"], "mvx": mv["mvx"], "mvy": mv["mvy"],
-            "submask": mv["submask"],
-            "stable": stable_blocks,
-            "has_ref": has_ref,
-        }
-        if compact:
-            # int8 + exceptions: values beyond int8 live (essentially
-            # only) in the small LL region at the head of the traversal;
-            # extract those exactly and just count any elsewhere (that
-            # count triggers the caller's dense fallback).
-            comp = []
-            for qv, ll_n in zip(qvals, ll_sizes):
-                q8 = jnp.clip(qv, -128, 127).astype(jnp.int8)
-                ll = qv[:ll_n]
-                big_ll = jnp.abs(ll) > 127
-                K = min(256, ll_n)
-                # fill points past the whole plane so the host filter
-                # (pos < plane size) drops padding entries
-                pos = jnp.nonzero(big_ll, size=K,
-                                  fill_value=qv.shape[0])[0] \
-                    .astype(jnp.int32)
-                vs = jnp.where(pos < ll_n, ll[jnp.clip(pos, 0, ll_n - 1)],
-                               0)
-                nbig = (jnp.sum((jnp.abs(qv[ll_n:]) > 127)
-                                .astype(jnp.int32))
-                        + jnp.maximum(jnp.sum(big_ll.astype(jnp.int32))
-                                      - K, 0))
-                comp.append((q8, pos, vs, nbig))
-            out["qcomp"] = tuple(comp)
-        else:
-            out["qvals"] = tuple(qvals)
-        return (recon, tuple(imgs), stability, refresh_ctr, prev_al), out
+    def compact_i(qv, ll_n):
+        """Dense int8 + LL exception list (intra planes are dense, with
+        values beyond int8 essentially only in the small LL region)."""
+        q8 = jnp.clip(qv, -128, 127).astype(jnp.int8)
+        ll = qv[:ll_n]
+        big_ll = jnp.abs(ll) > 127
+        K = min(256, ll_n)
+        # fill points past the whole plane so the host filter
+        # (pos < plane size) drops padding entries
+        pos = jnp.nonzero(big_ll, size=K, fill_value=qv.shape[0])[0] \
+            .astype(jnp.int32)
+        vs = jnp.where(pos < ll_n, ll[jnp.clip(pos, 0, ll_n - 1)], 0)
+        nbig = (jnp.sum((jnp.abs(qv[ll_n:]) > 127).astype(jnp.int32))
+                + jnp.maximum(jnp.sum(big_ll.astype(jnp.int32)) - K, 0))
+        return q8, pos, vs, nbig
+
+    def compact_p(qv):
+        """Capped (position, value) nonzero list (P planes are sparse)."""
+        n = qv.shape[0]
+        K = max(4096, n // 32)
+        pos = jnp.nonzero(qv, size=K, fill_value=n)[0].astype(jnp.int32)
+        vs = jnp.where(pos < n, qv[jnp.clip(pos, 0, n - 1)], 0)
+        cnt = jnp.sum((qv != 0).astype(jnp.int32))
+        return pos, vs, cnt
+
+    def make_step(first: bool):
+        def step(carry, x):
+            ref_recon, ref_pyr, stability, refresh_ctr, prev_al = carry
+            y, u, v = x
+            imgs, al = prep((y, u, v))
+            if first:
+                # GOP start: statically intra — XLA folds away the unused
+                # motion path entirely
+                has_ref = jnp.bool_(False)
+                mv = zero_mv()
+                if do_scd:
+                    prev_al = al
+            else:
+                has_ref = jnp.bool_(True)
+                if do_scd:
+                    # check_scene_change (dsv_encoder.c:538-554)
+                    has_ref &= jnp.abs(prev_al - al) <= scd_delta
+                    prev_al = al
+                mv = hme_run(imgs, list(ref_pyr), layouts, blk_w, blk_h,
+                             nbh, nbv, subsamp, levels)
+                # forced intra promotion (motion_est, dsv_encoder.c:219-254)
+                has_ref &= mv["intra_pct"] <= intra_thresh
+            stability, refresh_ctr, stable_blocks = _stable_update(
+                stability, refresh_ctr, has_ref, mv, stable_refresh)
+            margs = (mv["mode"].reshape(-1), mv["mvx"].reshape(-1),
+                     mv["mvy"].reshape(-1), mv["submask"].reshape(-1))
+            q = jnp.int32(quant)
+            qvals, dcs, recon = core(imgs[0], ref_recon, has_ref, q,
+                                     stable_blocks, *margs)
+            refresh_ctr = refresh_ctr + has_ref.astype(jnp.int32)
+            out = {
+                "dc": jnp.stack([jnp.asarray(d, jnp.int32) for d in dcs]),
+                "mode": mv["mode"], "mvx": mv["mvx"], "mvy": mv["mvy"],
+                "submask": mv["submask"],
+                "stable": stable_blocks,
+                "has_ref": has_ref,
+            }
+            if not compact:
+                out["qvals"] = tuple(qvals)
+            elif first:
+                out["qcomp_i"] = tuple(compact_i(qv, ll_n)
+                                       for qv, ll_n in zip(qvals, ll_sizes))
+            else:
+                out["qcomp_p"] = tuple(compact_p(qv) for qv in qvals)
+            return (recon, tuple(imgs), stability, refresh_ctr,
+                    prev_al), out
+        return step
 
     def run(y, u, v, prev_al0, stab0, refresh0):
         carry0 = (fr.alloc_image(layouts[0]),
                   tuple(fr.alloc_image(l) for l in layouts),
                   stab0, refresh0, prev_al0)
-        first = jnp.arange(G) == 0
-        carry, outs = lax.scan(step, carry0, ((y, u, v), first))
-        return outs, (carry[2], carry[3], carry[4])
+        carry1, out_i = make_step(True)(carry0, (y[0], u[0], v[0]))
+        if G > 1:
+            carry, outs_p = lax.scan(make_step(False), carry1,
+                                     (y[1:], u[1:], v[1:]))
+        else:
+            carry, outs_p = carry1, None
+        return (out_i, outs_p), (carry[2], carry[3], carry[4])
 
     return run
 
@@ -383,27 +404,48 @@ def encode_stream_gops(frames, meta: Metadata,
     for ci, s in enumerate(starts):
         if ci + 1 < len(starts):
             inflight[starts[ci + 1]] = dispatch(starts[ci + 1])
-        outs, _ = jax.device_get(inflight.pop(s))
-        if "qcomp" in outs:
-            overflow = any(np.any(outs["qcomp"][c][3] > 0)
+        (out_i, outs_p), _ = jax.device_get(inflight.pop(s))
+        if "qcomp_i" in out_i:
+            overflow = any(np.any(out_i["qcomp_i"][c][3] > 0)
                            for c in range(3))
+            if outs_p is not None:
+                overflow |= any(
+                    np.any(outs_p["qcomp_p"][c][2]
+                           > outs_p["qcomp_p"][c][0].shape[-1])
+                    for c in range(3))
             if overflow:
-                # rare (dense planes): redo this batch with dense outputs
+                # rare (dense P planes / huge LL): redo batch densely
                 full = _jit_batched(subsamp, w, h, G, cfg.quality,
                                     cfg.do_scd, cfg.scene_change_delta,
                                     cfg.intra_pct_thresh, cfg.stable_refresh,
                                     cfg.pyramid_levels, key, 0)
-                outs, _ = jax.device_get(dispatch(s, full))
+                (out_i, outs_p), _ = jax.device_get(dispatch(s, full))
+
+        def frame_out(i):
+            return out_i if i == 0 else outs_p
+
+        def field(gl, i, name):
+            o = frame_out(i)
+            return o[name][gl] if i == 0 else o[name][gl, i - 1]
 
         def plane_q(gl, i, c):
-            if "qvals" in outs:
-                return outs["qvals"][c][gl, i]
-            q8, pos, vals, _ = outs["qcomp"][c]
-            qv = q8[gl, i].astype(np.int32)
-            p = pos[gl, i]
-            sel = p < qv.size
-            qv[p[sel]] = vals[gl, i][sel]
-            return qv
+            o = frame_out(i)
+            if "qvals" in o:
+                return o["qvals"][c][gl] if i == 0 else o["qvals"][c][gl,
+                                                                      i - 1]
+            if i == 0:
+                q8, pos, vals, _ = o["qcomp_i"][c]
+                qv = q8[gl].astype(np.int32)
+                p = pos[gl]
+                sel = p < qv.size
+                qv[p[sel]] = vals[gl][sel]
+                return qv
+            pos, vals, cnt = o["qcomp_p"][c]
+            n_ = int(cnt[gl, i - 1])
+            p = pos[gl, i - 1][:n_].astype(np.int64)
+            prev = np.concatenate(([-1], p[:-1]))
+            return ((p - prev - 1).astype(np.uint32),
+                    vals[gl, i - 1][:n_].astype(np.int32))
 
         for gl in range(chunk):
             g = s + gl
@@ -414,13 +456,13 @@ def encode_stream_gops(frames, meta: Metadata,
                 fnum = g * G + i
                 if fnum >= N:
                     break
-                has_ref = bool(outs["has_ref"][gl, i])
-                mv = {k: outs[k][gl, i] for k in
+                has_ref = bool(field(gl, i, "has_ref"))
+                mv = {k: field(gl, i, k) for k in
                       ("mode", "mvx", "mvy", "submask")} if has_ref else None
                 qv = [plane_q(gl, i, c) for c in range(3)]
                 emit_pic(pack_picture(fnum, blk_w, blk_h,
-                                      outs["stable"][gl, i], has_ref, True,
-                                      mv, quant, qv, outs["dc"][gl, i],
+                                      field(gl, i, "stable"), has_ref, True,
+                                      mv, quant, qv, field(gl, i, "dc"),
                                       nbh, nbv))
     out.extend(encode_eos_packet(prev_link))
     return bytes(out)
