@@ -27,7 +27,7 @@ def main():
     from dsv1_tpu.utils.yuv import frame_size
 
     w, h, subsamp, G = 352, 288, SUBSAMP_420, 12
-    n_frames = 96  # 8 GOPs
+    n_frames = 288  # 24 GOPs (steady state past compile/pipeline warm-up)
     yuv = corpus.make_clip(w, h, subsamp, n_frames, seed=11)
     fsz = frame_size(w, h, subsamp)
     frames = [np_yuv_split(np.frombuffer(yuv[i * fsz:(i + 1) * fsz],

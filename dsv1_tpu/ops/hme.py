@@ -216,20 +216,18 @@ def _refine_common(level: int, mvf, src_img, ref_img, layout: FrameLayout,
         cand = jnp.stack(cands, axis=1)  # (nb, 6, 2)
         ncand = 6
 
-    # SAD per candidate (invalid ref blocks scored INT_MAX)
+    # SAD for all candidates in one batched window gather (invalid ref
+    # blocks scored INT_MAX)
     b = FRAME_BORDER
-    scores = []
-    for k in range(ncand):
-        dxk = cand[:, k, 0] >> level
-        dyk = cand[:, k, 1] >> level
-        rx = bx + dxk
-        ry = by + dyk
-        ok = ((rx >= -b) & (ry >= -b) & (rx + bw_c <= w + b)
-              & (ry + bh_c <= h + b) & inframe)
-        refw = _window(ref_img, layout, 0, rx, ry, BW, BH)
-        s = _masked_sad(srcw, refw, colmask, rowmask)
-        scores.append(jnp.where(ok, s, INT_MAX))
-    scores = jnp.stack(scores, axis=1)
+    rx = bx[:, None] + (cand[:, :, 0] >> level)      # (nb, ncand)
+    ry = by[:, None] + (cand[:, :, 1] >> level)
+    ok = ((rx >= -b) & (ry >= -b) & (rx + bw_c[:, None] <= w + b)
+          & (ry + bh_c[:, None] <= h + b) & inframe[:, None])
+    refw = _window(ref_img, layout, 0, rx.reshape(-1), ry.reshape(-1),
+                   BW, BH).reshape(nb, ncand, BH, BW)
+    d = jnp.abs(srcw[:, None].astype(jnp.int32) - refw.astype(jnp.int32))
+    d = d * colmask[:, None, None, :] * rowmask[:, None, :, None]
+    scores = jnp.where(ok, jnp.sum(d, axis=(2, 3)), INT_MAX)
     bestk = jnp.argmin(scores, axis=1)
     bdx = jnp.take_along_axis(cand[:, :, 0], bestk[:, None], 1)[:, 0] >> level
     bdy = jnp.take_along_axis(cand[:, :, 1], bestk[:, None], 1)[:, 0] >> level
@@ -301,16 +299,16 @@ def refine_base(mvf, src_img, ref_img, layout: FrameLayout,
 
     do_hp = (best > hpel_thresh) & inframe
     best_hp0 = best * (HP * HP) // jnp.maximum(yarea, 1)
-    s8 = []
-    for k in range(8):
-        X = 2 * (cx + dx) + int(XH[k])
-        Y = 2 * (cy + dy) + int(YH[k])
-        refw = _window_variants(
-            vflat, n, layout,
-            ((X & 1) << 1) | (Y & 1), X >> 1, Y >> 1, HP, HP)
-        s8.append(jnp.sum(jnp.abs(srcw14.astype(jnp.int32)
-                                  - refw.astype(jnp.int32)), axis=(1, 2)))
-    s8 = jnp.stack(s8, axis=1)
+    # all 8 half-pel offsets in one batched variant-window fetch
+    X8 = 2 * (cx + dx)[:, None] + jnp.asarray(XH)[None, :]
+    Y8 = 2 * (cy + dy)[:, None] + jnp.asarray(YH)[None, :]
+    refw8 = _window_variants(
+        vflat, n, layout,
+        (((X8 & 1) << 1) | (Y8 & 1)).reshape(-1),
+        (X8 >> 1).reshape(-1), (Y8 >> 1).reshape(-1), HP, HP) \
+        .reshape(nb, 8, HP, HP)
+    s8 = jnp.sum(jnp.abs(srcw14[:, None].astype(jnp.int32)
+                         - refw8.astype(jnp.int32)), axis=(2, 3))
     # strict-improvement argmin against the scaled threshold (hme.c:569-576)
     run_best = best_hp0
     run_m = jnp.full((nb,), -1, jnp.int32)
@@ -374,15 +372,20 @@ def refine_base(mvf, src_img, ref_img, layout: FrameLayout,
                                              blk_w, blk_h)
     sbw = bw_c // 2
     sbh = bh_c // 2
-    submask = jnp.full((nb,), MASK_ALL_INTRA, jnp.int32)
     hi_tex = src_tex > 1
-    for qi, (fq, gq) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
-        qx = bx + fq * sbw
-        qy = by + gq * sbh
-        aq = _window(src_img, layout, 0, qx, qy, blk_w // 2, blk_h // 2)
-        bq = _window(ref_img, layout, 0, qx, qy, blk_w // 2, blk_h // 2)
-        good = _intra_metric(aq, bq, sbw, sbh, blk_w // 2, blk_h // 2)
-        submask = jnp.where(hi_tex & good, submask & ~(1 << qi), submask)
+    # all 4 sub-block quadrants in one batched window fetch per image
+    fq = jnp.asarray(np.array([0, 1, 0, 1], np.int32))
+    gq = jnp.asarray(np.array([0, 0, 1, 1], np.int32))
+    qx = (bx[:, None] + fq[None, :] * sbw[:, None]).reshape(-1)
+    qy = (by[:, None] + gq[None, :] * sbh[:, None]).reshape(-1)
+    aq = _window(src_img, layout, 0, qx, qy, blk_w // 2, blk_h // 2)
+    bq = _window(ref_img, layout, 0, qx, qy, blk_w // 2, blk_h // 2)
+    good4 = _intra_metric(
+        aq, bq, jnp.repeat(sbw, 4), jnp.repeat(sbh, 4),
+        blk_w // 2, blk_h // 2).reshape(nb, 4)
+    clear = (hi_tex[:, None] & good4).astype(jnp.int32)
+    qbits = jnp.sum(clear * jnp.asarray([1, 2, 4, 8])[None, :], axis=1)
+    submask = MASK_ALL_INTRA & ~qbits
     is_intra = (go_intra & ~not_intra_after_test & (submask != 0) & inframe)
 
     mode = jnp.where(is_intra, MODE_INTRA, MODE_INTER).astype(jnp.int32)
