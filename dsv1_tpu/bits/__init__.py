@@ -33,6 +33,7 @@ def lib():
             _build()
         _lib = ctypes.CDLL(str(_SO))
         _lib.dsv1n_parse_hzcc.restype = ctypes.c_int32
+        _lib.dsv1n_pack_picture.restype = ctypes.c_int32
     return _lib
 
 
@@ -111,6 +112,50 @@ def encode_motion(modes, mvx, mvy, submask, nbh: int, nbv: int):
         ctypes.c_uint32(cap),
     )
     return [outs[i][: lens[i].value].tobytes() for i in range(4)]
+
+
+def pack_picture(fourcc: bytes, version: int, pkt_type: int, fnum: int,
+                 blk_w: int, blk_h: int, nbh: int, nbv: int,
+                 stable: np.ndarray, has_ref: bool, modes, mvx, mvy, submask,
+                 quant: int, qp_bits: int, planes) -> bytearray:
+    """Assemble one complete picture packet natively.
+
+    planes: [(runs u32[], vals i32[], dc int)] * 3. Motion arrays may be
+    None when has_ref is False.
+    """
+    stable = np.ascontiguousarray(stable, np.uint8)
+    if has_ref:
+        modes = np.ascontiguousarray(modes, np.uint8)
+        mvx = np.ascontiguousarray(mvx, np.int16)
+        mvy = np.ascontiguousarray(mvy, np.int16)
+        submask = np.ascontiguousarray(submask, np.uint8)
+        mp, xp = _u8p(modes), mvx.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+        yp, sp = mvy.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), _u8p(submask)
+    else:
+        mp = xp = yp = sp = None
+    pargs = []
+    cap = 1024 + nbh * nbv * 24
+    for runs, vals, dc in planes:
+        runs = np.ascontiguousarray(runs, np.uint32)
+        vals = np.ascontiguousarray(vals, np.int32)
+        cap += 10 * runs.size + 64
+        # data_as pointers keep their source arrays alive (numpy sets _arr)
+        pargs += [runs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                  vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                  ctypes.c_int32(runs.size), ctypes.c_int32(int(dc))]
+    fcc = np.frombuffer(fourcc, np.uint8)
+    while True:
+        out = np.zeros(cap, np.uint8)
+        n = lib().dsv1n_pack_picture(
+            _u8p(fcc), ctypes.c_uint8(version), ctypes.c_uint8(pkt_type),
+            ctypes.c_uint32(fnum), ctypes.c_int32(blk_w),
+            ctypes.c_int32(blk_h), ctypes.c_int32(nbh), ctypes.c_int32(nbv),
+            _u8p(stable), ctypes.c_int32(int(has_ref)), mp, xp, yp, sp,
+            ctypes.c_int32(quant), ctypes.c_int32(qp_bits), *pargs,
+            _u8p(out), ctypes.c_uint32(cap))
+        if n >= 0:
+            return bytearray(out[:n].tobytes())
+        cap *= 2
 
 
 def pack_symbols(codes: np.ndarray, lens: np.ndarray, out: np.ndarray,

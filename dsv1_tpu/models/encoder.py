@@ -21,10 +21,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import bits
-from ..constants import (GOP_INTRA, MAX_QP_BITS, MAX_QUALITY, MIN_BLOCK_SIZE,
-                         MAX_BLOCK_SIZE, MAX_PYRAMID_LEVELS, MODE_INTER,
-                         BPF_RESET, PT_EOS, RATE_CONTROL_CRF, div_round,
-                         make_pt, quality_percent, round_pow2, round_shift)
+from ..constants import (FOURCC, GOP_INTRA, MAX_QP_BITS, MAX_QUALITY,
+                         MIN_BLOCK_SIZE, MAX_BLOCK_SIZE, MAX_PYRAMID_LEVELS,
+                         MODE_INTER, BPF_RESET, PT_EOS, RATE_CONTROL_CRF,
+                         VERSION_MINOR, div_round, make_pt, quality_percent,
+                         round_pow2, round_shift)
 from ..ops import bmc, frame as fr, hzcc, sbt
 from ..ops.cint import lb2_static
 from ..ops.golomb import BitWriter, zbrle_encode
@@ -240,38 +241,25 @@ def pack_picture(fnum: int, blk_w: int, blk_h: int, stable: np.ndarray,
                  qvals3, dcs3, nbh: int, nbv: int) -> bytearray:
     """Host-side picture packet assembly (encode_picture,
     dsv_encoder.c:463-536). qvals3/dcs3: per-plane traversal-ordered
-    quantized values + raw DCs from the device encode core."""
-    wtr = BitWriter(1 << 16)
-    write_packet_hdr(wtr, make_pt(is_ref, has_ref))
-    wtr.align()
-    wtr.put_bits(32, fnum)
-    wtr.align()
-    wtr.put_ueg(blk_w >> 2)
-    wtr.put_ueg(blk_h >> 2)
-    wtr.align()
-    # stability section (encode_stable_blocks, dsv_encoder.c:329-408)
-    srle = zbrle_encode(stable & 1)
-    wtr.put_ueg(len(srle))
-    wtr.align()
-    wtr.concat_bytes(srle)
-    if has_ref:
-        wtr.align()
-        subs = bits.encode_motion(
-            mv["mode"].reshape(-1), mv["mvx"].reshape(-1),
-            mv["mvy"].reshape(-1), mv["submask"].reshape(-1), nbh, nbv)
-        for sb in subs:
-            wtr.align()
-            wtr.put_ueg(len(sb))
-            wtr.align()
-            wtr.concat_bytes(sb)
-    wtr.align()
-    wtr.put_bits(MAX_QP_BITS, quant)
+    quantized values + raw DCs from the device encode core. The whole
+    packet (stability ZBRLE, motion substreams, plane symbol streams) is
+    assembled in one native call (native/dsvbits.cpp dsv1n_pack_picture)."""
+    planes = []
     for ci in range(3):
         q3 = qvals3[ci]
-        encode_plane_bits(wtr, q3 if isinstance(q3, tuple)
-                          else np.asarray(q3), int(dcs3[ci]))
-    wtr.align()
-    return bytearray(wtr.getvalue())
+        if isinstance(q3, tuple):
+            runs, vals = q3
+        else:
+            runs, vals = hzcc.runs_from_qvals(np.asarray(q3))
+        planes.append((runs, vals, int(dcs3[ci])))
+    return bits.pack_picture(
+        FOURCC, VERSION_MINOR, make_pt(is_ref, has_ref), fnum, blk_w, blk_h,
+        nbh, nbv, stable, has_ref,
+        mv["mode"].reshape(-1) if has_ref else None,
+        mv["mvx"].reshape(-1) if has_ref else None,
+        mv["mvy"].reshape(-1) if has_ref else None,
+        mv["submask"].reshape(-1) if has_ref else None,
+        quant, MAX_QP_BITS, planes)
 
 
 class Encoder:

@@ -247,4 +247,150 @@ void dsv1n_pack_symbols(const uint64_t* codes, const int32_t* lens, int32_t n,
     *bitpos = w.pos;
 }
 
+namespace {
+
+inline void put_ueg_w(BitWriter& w, uint32_t v) {
+    uint32_t vp = v + 1;
+    int k = 0; while ((vp >> (k + 1)) != 0) k++;
+    for (int i = k - 1; i >= 0; i--) {
+        w.put_bits(0, 1);
+        w.put_bits((vp >> i) & 1, 1);
+    }
+    w.put_bits(1, 1);
+}
+
+inline void put_seg_w(BitWriter& w, int32_t v) {
+    uint32_t a = (uint32_t)(v < 0 ? -v : v);
+    put_ueg_w(w, a);
+    if (a) w.put_bits(v < 0 ? 1 : 0, 1);
+}
+
+inline void put_neg_w(BitWriter& w, int32_t v) {
+    uint32_t a = (uint32_t)(v < 0 ? -v : v);
+    put_ueg_w(w, a - 1);
+    w.put_bits(v < 0 ? 1 : 0, 1);
+}
+
+// Aligned byte append (bs.c:37-46 semantics).
+inline void put_bytes_w(BitWriter& w, const uint8_t* p, uint32_t n) {
+    uint32_t bp = w.pos >> 3;
+    if (bp + n > w.cap) { w.pos = w.cap * 8 + 1; return; }
+    memcpy(w.buf + bp, p, n);
+    w.pos += n * 8;
+}
+
+inline void patch_u32(uint8_t* buf, uint32_t byteoff, uint32_t v) {
+    buf[byteoff] = (uint8_t)(v >> 24);
+    buf[byteoff + 1] = (uint8_t)(v >> 16);
+    buf[byteoff + 2] = (uint8_t)(v >> 8);
+    buf[byteoff + 3] = (uint8_t)v;
+}
+
+// One plane section (dsv_encode_plane wire layout, hzcc.c:449-496):
+// [u32 len][SEG dc][pad][u32 nruns][pad][r0 (r1 v0) ... v_last][pad]
+// [u8 0x55][pad]; len covers from its own offset to EOP inclusive, -4.
+inline void put_plane_w(BitWriter& w, const uint32_t* runs,
+                        const int32_t* vals, int32_t n, int32_t dc) {
+    w.align();
+    uint32_t startp = w.pos >> 3;
+    w.put_bits(0, 32); // length placeholder
+    put_seg_w(w, dc);
+    w.align();
+    w.put_bits((uint32_t)n, 32);
+    w.align();
+    if (n > 0) {
+        put_ueg_w(w, runs[0]);
+        for (int32_t i = 1; i < n; i++) {
+            put_ueg_w(w, runs[i]);
+            put_neg_w(w, vals[i - 1]);
+        }
+        put_neg_w(w, vals[n - 1]);
+    }
+    w.align();
+    w.put_bits(0x55, 8); // EOP sentinel
+    w.align();
+    if (w.pos <= w.cap * 8)
+        patch_u32(w.buf, startp, (w.pos >> 3) - startp - 4);
+}
+
+} // namespace
+
+// Assemble one complete picture packet (encode_picture wire layout,
+// dsv_encoder.c:463-536): header, frame number, block dims, ZBRLE
+// stability flags, 4 motion substreams (P only), 11-bit quant, and the
+// three coefficient plane sections. Returns the packet byte length, or
+// -1 if outcap was too small (caller re-tries with a larger buffer).
+int32_t dsv1n_pack_picture(
+    const uint8_t* fourcc, uint8_t version, uint8_t pkt_type,
+    uint32_t fnum, int32_t blk_w, int32_t blk_h, int32_t nbh, int32_t nbv,
+    const uint8_t* stable, int32_t has_ref,
+    const uint8_t* modes, const int16_t* mvx, const int16_t* mvy,
+    const uint8_t* submask, int32_t quant, int32_t qp_bits,
+    const uint32_t* runs0, const int32_t* vals0, int32_t n0, int32_t dc0,
+    const uint32_t* runs1, const int32_t* vals1, int32_t n1, int32_t dc1,
+    const uint32_t* runs2, const int32_t* vals2, int32_t n2, int32_t dc2,
+    uint8_t* out, uint32_t outcap) {
+    memset(out, 0, outcap);
+    BitWriter w(out, outcap);
+    for (int i = 0; i < 4; i++) w.put_bits(fourcc[i], 8);
+    w.put_bits(version, 8);
+    w.put_bits(pkt_type, 8);
+    w.put_bits(0, 32); // prev link (patched at emit)
+    w.put_bits(0, 32); // next link
+    w.align();
+    w.put_bits(fnum, 32);
+    w.align();
+    put_ueg_w(w, (uint32_t)(blk_w >> 2));
+    put_ueg_w(w, (uint32_t)(blk_h >> 2));
+    w.align();
+
+    // stability flags: ZBRLE of bit0 (encode_stable_blocks,
+    // dsv_encoder.c:329-408)
+    int32_t nblk = nbh * nbv;
+    uint32_t scap = (uint32_t)(nblk + 64);
+    uint8_t* scratch = new uint8_t[scap]();
+    {
+        BitWriter sw(scratch, scap);
+        uint32_t nz = 0;
+        for (int32_t i = 0; i < nblk; i++) {
+            if (stable[i] & 1) { put_ueg_w(sw, nz); nz = 0; } else nz++;
+        }
+        put_ueg_w(sw, nz); // trailing run
+        sw.align();
+        uint32_t slen = sw.pos >> 3;
+        put_ueg_w(w, slen);
+        w.align();
+        put_bytes_w(w, scratch, slen);
+    }
+
+    if (has_ref) {
+        // 4 length-prefixed motion substreams (dsv_encoder.c:256-327)
+        uint32_t mcap = (uint32_t)(nblk * 16 + 64);
+        uint8_t* mb = new uint8_t[4 * mcap]();
+        uint32_t mlens[4];
+        dsv1n_encode_motion(modes, mvx, mvy, submask, nbh, nbv,
+                            mb, &mlens[0], mb + mcap, &mlens[1],
+                            mb + 2 * mcap, &mlens[2], mb + 3 * mcap,
+                            &mlens[3], mcap);
+        w.align();
+        for (int s = 0; s < 4; s++) {
+            w.align();
+            put_ueg_w(w, mlens[s]);
+            w.align();
+            put_bytes_w(w, mb + s * mcap, mlens[s]);
+        }
+        delete[] mb;
+    }
+    delete[] scratch;
+
+    w.align();
+    w.put_bits((uint32_t)quant, qp_bits);
+    put_plane_w(w, runs0, vals0, n0, dc0);
+    put_plane_w(w, runs1, vals1, n1, dc1);
+    put_plane_w(w, runs2, vals2, n2, dc2);
+    w.align();
+    if (w.pos > w.cap * 8) return -1;
+    return (int32_t)(w.pos >> 3);
+}
+
 } // extern "C"
