@@ -33,6 +33,10 @@ from .opt import runtime, span_gather
 
 INT_MAX = jnp.int32(2**31 - 1)
 
+# ablation switches for performance work (timing only — results are wrong
+# when non-empty): {"halfpel", "intra", "coarse", "cands", "ninepoint"}
+DEBUG_SKIP: frozenset = frozenset()
+
 # search point tables (hme.c:422-427)
 XF = np.array([0, 1, -1, 0, 0, -1, 1, -1, 1], np.int32)
 YF = np.array([0, 0, 0, 1, -1, -1, -1, 1, 1], np.int32)
@@ -166,10 +170,13 @@ def _block_intra_test(srcw, refw, cw, ch, BW: int, BH: int):
 
 
 def _refine_common(level: int, mvf, src_img, ref_img, layout: FrameLayout,
-                   blk_w: int, blk_h: int, nbh: int, nbv: int):
+                   blk_w: int, blk_h: int, nbh: int, nbv: int, pre=None):
     """Candidate selection + 9-point full-pel refine for one level.
 
     mvf: (nbv, nbh, 2) int32 parent MV field (full-res units) or None.
+    pre: optional precomputed (dx, dy, best) from the pallas kernel
+    (ops/pallas_hme.py) — skips the gather-heavy search, keeping only the
+    block geometry and source-window prep.
     Returns (bx, by, bw_c, bh_c, valid, dx, dy, best) for active blocks,
     plus the active index grids.
     """
@@ -194,6 +201,11 @@ def _refine_common(level: int, mvf, src_img, ref_img, layout: FrameLayout,
     colmask = (jnp.arange(BW)[None, :] < bw_c[:, None]).astype(jnp.int32)
     rowmask = (jnp.arange(BH)[None, :] < bh_c[:, None]).astype(jnp.int32)
 
+    if pre is not None:
+        dx, dy, best = pre
+        return (gi_f, gj_f, bx, by, bw_c, bh_c, inframe, dx, dy, best, srcw,
+                colmask, rowmask)
+
     # --- inherited candidates: zero + 5 parent-grid neighbours (hme.c:452-510)
     if mvf is None:
         cand = jnp.zeros((nb, 1, 2), jnp.int32)
@@ -215,6 +227,11 @@ def _refine_common(level: int, mvf, src_img, ref_img, layout: FrameLayout,
             cands.append(mv)
         cand = jnp.stack(cands, axis=1)  # (nb, 6, 2)
         ncand = 6
+
+    if "cands" in DEBUG_SKIP:
+        z = jnp.zeros_like(bx)
+        return (gi_f, gj_f, bx, by, bw_c, bh_c, inframe, z, z, z + INT_MAX,
+                srcw, colmask, rowmask)
 
     # SAD for all candidates in one batched window gather (invalid ref
     # blocks scored INT_MAX)
@@ -238,6 +255,11 @@ def _refine_common(level: int, mvf, src_img, ref_img, layout: FrameLayout,
     # full-pel clamp (hme.c:519-520)
     bdx = jnp.clip(bdx, -bw_c - bx, w - bx)
     bdy = jnp.clip(bdy, -bh_c - by, h - by)
+
+    if "ninepoint" in DEBUG_SKIP:
+        best0 = jnp.take_along_axis(scores, bestk[:, None], 1)[:, 0]
+        return (gi_f, gj_f, bx, by, bw_c, bh_c, inframe, bdx, bdy, best0,
+                srcw, colmask, rowmask)
 
     # 9-point refine (hme.c:526-541) — no validity checks in the reference.
     # One (BH+2, BW+2) padded window per block; the 9 shifted views are
@@ -274,12 +296,13 @@ def refine_coarse(level: int, mvf, src_img, ref_img, layout: FrameLayout,
 
 
 def refine_base(mvf, src_img, ref_img, layout: FrameLayout,
-                blk_w: int, blk_h: int, nbh: int, nbv: int, subsamp: int):
+                blk_w: int, blk_h: int, nbh: int, nbv: int, subsamp: int,
+                pre=None):
     """Level 0: half-pel refine + intra decision + block metrics
     (hme.c:543-722). Returns per-block arrays shaped (nbv, nbh)."""
     (gi, gj, bx, by, bw_c, bh_c, inframe, dx, dy, best, srcw,
      colmask, rowmask) = _refine_common(0, mvf, src_img, ref_img, layout,
-                                        blk_w, blk_h, nbh, nbv)
+                                        blk_w, blk_h, nbh, nbv, pre=pre)
     p = layout.planes[0]
     w, h = p.w, p.h
     nb = bx.shape[0]
@@ -296,6 +319,14 @@ def refine_base(mvf, src_img, ref_img, layout: FrameLayout,
     cx = bx + (bw_c >> 1) - HP // 2
     cy = by + (bh_c >> 1) - HP // 2
     srcw14 = _window(src_img, layout, 0, cx, cy, HP, HP)
+
+    if "halfpel" in DEBUG_SKIP:
+        mvx = dx << 1
+        mvy = dy << 1
+        refblk = srcw14
+        return _base_tail(gi, gj, bx, by, bw_c, bh_c, inframe, best, srcw,
+                          srcw14, refblk, mvx, mvy, src_img, ref_img, layout,
+                          blk_w, blk_h, nbh, nbv, subsamp, yareasq)
 
     do_hp = (best > hpel_thresh) & inframe
     best_hp0 = best * (HP * HP) // jnp.maximum(yarea, 1)
@@ -330,6 +361,16 @@ def refine_base(mvf, src_img, ref_img, layout: FrameLayout,
                               ((RX & 1) << 1) | (RY & 1), RX >> 1, RY >> 1,
                               HP, HP)
 
+    return _base_tail(gi, gj, bx, by, bw_c, bh_c, inframe, best, srcw,
+                      srcw14, refblk, mvx, mvy, src_img, ref_img, layout,
+                      blk_w, blk_h, nbh, nbv, subsamp, yareasq)
+
+
+def _base_tail(gi, gj, bx, by, bw_c, bh_c, inframe, best, srcw, srcw14,
+               refblk, mvx, mvy, src_img, ref_img, layout, blk_w, blk_h,
+               nbh, nbv, subsamp, yareasq):
+    nb = bx.shape[0]
+    HP = HP_SAD_SZ
     # block metrics (hme.c:598-648); out-of-frame blocks stay zeroed like the
     # reference's calloc'd MV fields (hme.c:442-445)
     luma_var, luma_tex, _, _ = _block_analysis(srcw, bw_c, bh_c, blk_w, blk_h)
@@ -337,6 +378,13 @@ def refine_base(mvf, src_img, ref_img, layout: FrameLayout,
     lo_var = (luma_var < yareasq) & inframe
     src_tex, src_avg, src_var = _block_texture14(srcw14)
     ref_tex, ref_avg, ref_var = _block_texture14(refblk)
+
+    if "intra" in DEBUG_SKIP:
+        z = jnp.zeros((nbv, nbh), jnp.int32)
+        return {"mode": z + MODE_INTER, "mvx": z, "mvy": z, "submask": z,
+                "lo_tex": z + lo_tex.reshape(nbv, nbh), "lo_var": z,
+                "high_detail": z + src_var.reshape(nbv, nbh),
+                "nintra": jnp.int32(0)}
 
     # intra decision cascade (hme.c:650-716)
     zerow = _window(ref_img, layout, 0, bx, by, blk_w, blk_h)
@@ -447,10 +495,128 @@ def hme(src_imgs, ref_imgs, layouts, blk_w: int, blk_h: int,
     intra percentage.
     """
     mvf = None
-    for level in range(levels, 0, -1):
-        mvf = refine_coarse(level, mvf, src_imgs[level], ref_imgs[level],
-                            layouts[level], blk_w, blk_h, nbh, nbv)
+    if "coarse" not in DEBUG_SKIP:
+        for level in range(levels, 0, -1):
+            mvf = refine_coarse(level, mvf, src_imgs[level], ref_imgs[level],
+                                layouts[level], blk_w, blk_h, nbh, nbv)
     out = refine_base(mvf, src_imgs[0], ref_imgs[0], layouts[0],
                       blk_w, blk_h, nbh, nbv, subsamp)
+    out["intra_pct"] = out["nintra"] * 100 // (nbh * nbv)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Batched HME over a leading frame axis, with the candidate+9-point search
+# in a pallas kernel (ops/pallas_hme.py). The candidate *construction* is
+# static-index work (parent positions are compile-time grids; only the MV
+# values are data) so it stays in JAX; the per-block dynamic window SADs —
+# the part XLA lowers to catastrophically slow scoped-VMEM gathers — run
+# on-chip with the reference plane resident in VMEM.
+
+
+def _lvl_grid(level: int, nbh: int, nbv: int):
+    step = 1 << level
+    ii = np.arange(0, nbh, step)
+    jj = np.arange(0, nbv, step)
+    return step, ii, jj
+
+
+def _build_cands_batched(level: int, mvf, nbh: int, nbv: int):
+    """mvf: (B, nbv, nbh, 2) -> (B, nb, 6) cmx, cmy (full-res units).
+
+    Mirrors the inheritance at hme.c:452-510 / _refine_common above:
+    slot 0 is the zero MV, slots 1-5 the parent-grid neighbours, with
+    out-of-grid or all-zero parents zeroed.
+    """
+    step, ii, jj = _lvl_grid(level, nbh, nbv)
+    gj, gi = np.meshgrid(jj, ii, indexing="ij")
+    gi = gi.reshape(-1)
+    gj = gj.reshape(-1)
+    nb = gi.size
+    B = mvf.shape[0]
+    parent_mask = ~((step << 1) - 1)
+    pi = gi & parent_mask
+    pj = gj & parent_mask
+    cxs = [jnp.zeros((B, nb), jnp.int32)]
+    cys = [jnp.zeros((B, nb), jnp.int32)]
+    for (ox, oy) in PT:
+        x = pi + int(ox) * step
+        y = pj + int(oy) * step
+        ok = (x >= 0) & (x < nbh) & (y >= 0) & (y < nbv)
+        xc = np.clip(x, 0, nbh - 1)
+        yc = np.clip(y, 0, nbv - 1)
+        mv = mvf[:, yc, xc]                      # (B, nb, 2), static indices
+        keep = (jnp.asarray(ok)[None, :, None]
+                & (mv != 0).any(-1, keepdims=True))
+        mv = jnp.where(keep, mv, 0)
+        cxs.append(mv[..., 0])
+        cys.append(mv[..., 1])
+    return jnp.stack(cxs, -1), jnp.stack(cys, -1)
+
+
+def _lvl2d(flats, layout: FrameLayout):
+    """(B, flat) -> (B, EH, S) extended luma plane views."""
+    p = layout.planes[0]
+    start = layout.margin + p.offset - p.ext * p.stride - p.ext
+    EH = p.h + 2 * p.ext
+    return flats[:, start:start + EH * p.stride].reshape(
+        flats.shape[0], EH, p.stride)
+
+
+def hme_batch(src_flats, ref_flats, layouts, blk_w: int, blk_h: int,
+              nbh: int, nbv: int, subsamp: int, levels: int,
+              interpret: bool = False):
+    """Batched dsv_hme over a leading frame axis (pallas search path).
+
+    src_flats/ref_flats: lists per pyramid level of (B, flat) u8 images.
+    Returns the refine_base output dict with a leading B axis.
+    """
+    from .pallas_hme import refine_level_pallas
+
+    mvf = None
+    for level in range(levels, 0, -1):
+        lay = layouts[level]
+        step, ii, jj = _lvl_grid(level, nbh, nbv)
+        nbh_l, nbv_l = len(ii), len(jj)
+        nb = nbh_l * nbv_l
+        src2d = _lvl2d(src_flats[level], lay)
+        ref2d = _lvl2d(ref_flats[level], lay)
+        B = src2d.shape[0]
+        if mvf is None:
+            cmx = jnp.zeros((B, nb, 1), jnp.int32)
+            cmy = jnp.zeros((B, nb, 1), jnp.int32)
+        else:
+            cmx, cmy = _build_cands_batched(level, mvf, nbh, nbv)
+        dx, dy, _ = refine_level_pallas(src2d, ref2d, cmx, cmy, lay, level,
+                                        blk_w, blk_h, nbh_l, nb, interpret)
+        p = lay.planes[0]
+        # block origin in level coords is (grid_index * blk) >> level
+        infr = jnp.asarray((((ii * blk_w) >> level)[None, :] < p.w)
+                           & (((jj * blk_h) >> level)[:, None] < p.h)) \
+            .reshape(-1)
+        mvx = jnp.where(infr[None, :], dx << level, 0)
+        mvy = jnp.where(infr[None, :], dy << level, 0)
+        field = jnp.stack([mvx, mvy], -1).reshape(B, nbv_l, nbh_l, 2)
+        mvf = jnp.zeros((B, nbv, nbh, 2), jnp.int32) \
+            .at[:, ::step, ::step].set(field)
+
+    lay = layouts[0]
+    src2d = _lvl2d(src_flats[0], lay)
+    ref2d = _lvl2d(ref_flats[0], lay)
+    B = src2d.shape[0]
+    nb = nbh * nbv
+    if mvf is None:
+        cmx = jnp.zeros((B, nb, 1), jnp.int32)
+        cmy = jnp.zeros((B, nb, 1), jnp.int32)
+    else:
+        cmx, cmy = _build_cands_batched(0, mvf, nbh, nbv)
+    dx, dy, best = refine_level_pallas(src2d, ref2d, cmx, cmy, lay, 0,
+                                       blk_w, blk_h, nbh, nb, interpret)
+
+    def base_one(src_img, ref_img, d1, d2, b1):
+        return refine_base(None, src_img, ref_img, lay, blk_w, blk_h,
+                           nbh, nbv, subsamp, pre=(d1, d2, b1))
+
+    out = jax.vmap(base_one)(src_flats[0], ref_flats[0], dx, dy, best)
     out["intra_pct"] = out["nintra"] * 100 // (nbh * nbv)
     return out

@@ -48,7 +48,8 @@ from ..models.encoder import (EncoderConfig, _pyr_layouts,
                               make_prep, pack_picture, size4dim)
 from ..models.metadata import Metadata
 from ..ops import frame as fr
-from ..ops.hme import hme as hme_run
+from ..ops.hme import hme as hme_run, hme_batch
+from ..ops.pallas_hme import use_pallas
 
 
 def crf_quant(quality: int) -> int:
@@ -182,66 +183,141 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
         cnt = jnp.sum(nz.astype(jnp.int32))
         return pos, vs, cnt
 
-    def make_step(first: bool):
-        def step(carry, x):
-            ref_recon, ref_pyr, stability, refresh_ctr, prev_al = carry
-            y, u, v = x
-            imgs, al = prep((y, u, v))
-            if first:
-                # GOP start: statically intra — XLA folds away the unused
-                # motion path entirely
-                has_ref = jnp.bool_(False)
-                mv = zero_mv()
-                if do_scd:
-                    prev_al = al
+    def encode_frame(is_p, quant_j, ref_recon, stability, refresh_ctr,
+                     img0, mv, compactor):
+        """Shared I/P frame tail: stability accumulators + encode core."""
+        stability, refresh_ctr, stable_blocks = _stable_update(
+            stability, refresh_ctr, is_p, mv, stable_refresh)
+        margs = (mv["mode"].reshape(-1), mv["mvx"].reshape(-1),
+                 mv["mvy"].reshape(-1), mv["submask"].reshape(-1))
+        qvals, dcs, recon = core(img0, ref_recon, is_p, quant_j,
+                                 stable_blocks, *margs)
+        refresh_ctr = refresh_ctr + is_p.astype(jnp.int32)
+        out = {
+            "dc": jnp.stack([jnp.asarray(d, jnp.int32) for d in dcs]),
+            "mode": mv["mode"], "mvx": mv["mvx"], "mvy": mv["mvy"],
+            "submask": mv["submask"],
+            "stable": stable_blocks,
+            "has_ref": is_p,
+        }
+        if not compact:
+            out["qvals"] = tuple(qvals)
+        else:
+            out[compactor[0]] = compactor[1](qvals)
+        return recon, stability, refresh_ctr, out
+
+    compact_i_tagged = ("qcomp_i", lambda qvals: tuple(
+        compact_i(qv, ll_n) for qv, ll_n in zip(qvals, ll_sizes)))
+    compact_p_tagged = ("qcomp_p",
+                        lambda qvals: tuple(compact_p(qv) for qv in qvals))
+
+    def run_batch(y, u, v, prev_al0, stab0, refresh0):
+        """Batched over a leading GOP axis C: y/u/v are (C, G, ...).
+
+        The motion path (prep/pyramids, HME, SCD, forced-intra) depends
+        only on consecutive *input* frames, never on the recon chain —
+        so it is hoisted out of the scan and batched over all C*(G-1)
+        P frames at once; on TPU the candidate/9-point search runs as a
+        pallas kernel (ops/pallas_hme.py) with the reference plane
+        resident in VMEM. Only the genuinely serial part — the in-loop
+        recon chain through prediction (dsv_encoder.c:639-674) and the
+        stability accumulators — remains a lax.scan (vmapped over C).
+        The GOP axis is explicit rather than vmapped so the pallas grid
+        sees the whole batch."""
+        C = y.shape[0]
+        B = C * G
+
+        def prep_one(a, b, c):
+            return prep((a, b, c))
+
+        imgs_all, al_all = jax.vmap(prep_one)(
+            y.reshape((B,) + y.shape[2:]), u.reshape((B,) + u.shape[2:]),
+            v.reshape((B,) + v.shape[2:]))
+        al_all = al_all.reshape(C, G)
+
+        if G > 1:
+            def tails(a):
+                # (C*G, n) -> P-frame (src, ref) pairs flattened to C*(G-1)
+                s = a.reshape(C, G, -1)
+                return (s[:, 1:].reshape(C * (G - 1), -1),
+                        s[:, :-1].reshape(C * (G - 1), -1))
+
+            pairs = [tails(a) for a in imgs_all]
+            if use_pallas():
+                mv_all = hme_batch([p[0] for p in pairs],
+                                   [p[1] for p in pairs], layouts,
+                                   blk_w, blk_h, nbh, nbv, subsamp, levels)
             else:
-                has_ref = jnp.bool_(True)
-                if do_scd:
-                    # check_scene_change (dsv_encoder.c:538-554)
-                    has_ref &= jnp.abs(prev_al - al) <= scd_delta
-                    prev_al = al
-                mv = hme_run(imgs, list(ref_pyr), layouts, blk_w, blk_h,
-                             nbh, nbv, subsamp, levels)
-                # forced intra promotion (motion_est, dsv_encoder.c:219-254)
-                has_ref &= mv["intra_pct"] <= intra_thresh
-            stability, refresh_ctr, stable_blocks = _stable_update(
-                stability, refresh_ctr, has_ref, mv, stable_refresh)
-            margs = (mv["mode"].reshape(-1), mv["mvx"].reshape(-1),
-                     mv["mvy"].reshape(-1), mv["submask"].reshape(-1))
-            q = jnp.int32(quant)
-            qvals, dcs, recon = core(imgs[0], ref_recon, has_ref, q,
-                                     stable_blocks, *margs)
-            refresh_ctr = refresh_ctr + has_ref.astype(jnp.int32)
-            out = {
-                "dc": jnp.stack([jnp.asarray(d, jnp.int32) for d in dcs]),
-                "mode": mv["mode"], "mvx": mv["mvx"], "mvy": mv["mvy"],
-                "submask": mv["submask"],
-                "stable": stable_blocks,
-                "has_ref": has_ref,
-            }
-            if not compact:
-                out["qvals"] = tuple(qvals)
-            elif first:
-                out["qcomp_i"] = tuple(compact_i(qv, ll_n)
-                                       for qv, ll_n in zip(qvals, ll_sizes))
-            else:
-                out["qcomp_p"] = tuple(compact_p(qv) for qv in qvals)
-            return (recon, tuple(imgs), stability, refresh_ctr,
-                    prev_al), out
-        return step
+                def hme_t(sr):
+                    return hme_run(list(sr[0]), list(sr[1]), layouts,
+                                   blk_w, blk_h, nbh, nbv, subsamp, levels)
+
+                F = max(1, min(C * (G - 1), (6 << 20) // max(w * h, 1)))
+                mv_all = lax.map(hme_t,
+                                 (tuple(p[0] for p in pairs),
+                                  tuple(p[1] for p in pairs)),
+                                 batch_size=F)
+            mv_all = {k: a.reshape((C, G - 1) + a.shape[1:])
+                      for k, a in mv_all.items()}
+            # check_scene_change (dsv_encoder.c:538-554) + forced-intra
+            # promotion (dsv_encoder.c:219-254), both input-only
+            has_ref_all = mv_all["intra_pct"] <= intra_thresh
+            if do_scd:
+                has_ref_all &= (jnp.abs(al_all[:, 1:] - al_all[:, :-1])
+                                <= scd_delta)
+
+        # GOP start: statically intra — XLA folds away its motion path
+        q = jnp.int32(quant)
+        imgs0 = imgs_all[0].reshape(C, G, -1)
+        zmv = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (C,) + a.shape), zero_mv())
+
+        def frame_i(st, rc, im, mv1):
+            return encode_frame(jnp.bool_(False), q,
+                                fr.alloc_image(layouts[0]), st, rc, im, mv1,
+                                compact_i_tagged)
+
+        recon, stability, refresh_ctr, out_i = jax.vmap(frame_i)(
+            stab0, refresh0, imgs0[:, 0], zmv)
+
+        if G > 1:
+            def step(carry, x):
+                ref_recon, stability, refresh_ctr = carry
+
+                def frame_p(rr, st, rc, im, mv1, hr):
+                    return encode_frame(hr, q, rr, st, rc, im, mv1,
+                                        compact_p_tagged)
+
+                recon, stability, refresh_ctr, out = jax.vmap(frame_p)(
+                    ref_recon, stability, refresh_ctr, *x)
+                return (recon, stability, refresh_ctr), out
+
+            xs_mv = {k: jnp.moveaxis(mv_all[k], 0, 1) for k in
+                     ("mode", "mvx", "mvy", "submask", "lo_tex", "lo_var",
+                      "high_detail")}
+            (_, stability, refresh_ctr), outs_p = lax.scan(
+                step, (recon, stability, refresh_ctr),
+                (jnp.moveaxis(imgs0[:, 1:], 0, 1), xs_mv,
+                 jnp.moveaxis(has_ref_all, 0, 1)))
+            # scan stacks outputs frame-major; callers index [gop, frame]
+            outs_p = jax.tree_util.tree_map(
+                lambda a: jnp.moveaxis(a, 0, 1), outs_p)
+        else:
+            outs_p = None
+        return (out_i, outs_p), (stability, refresh_ctr, al_all[:, -1])
 
     def run(y, u, v, prev_al0, stab0, refresh0):
-        carry0 = (fr.alloc_image(layouts[0]),
-                  tuple(fr.alloc_image(l) for l in layouts),
-                  stab0, refresh0, prev_al0)
-        carry1, out_i = make_step(True)(carry0, (y[0], u[0], v[0]))
-        if G > 1:
-            carry, outs_p = lax.scan(make_step(False), carry1,
-                                     (y[1:], u[1:], v[1:]))
-        else:
-            carry, outs_p = carry1, None
-        return (out_i, outs_p), (carry[2], carry[3], carry[4])
+        """Single-GOP convenience wrapper (driver compile check)."""
+        (out_i, outs_p), carry = run_batch(
+            y[None], u[None], v[None], prev_al0[None], stab0[None],
+            refresh0[None])
+        sq = lambda a: a[0]
+        out_i = jax.tree_util.tree_map(sq, out_i)
+        if outs_p is not None:
+            outs_p = jax.tree_util.tree_map(sq, outs_p)
+        return (out_i, outs_p), jax.tree_util.tree_map(sq, carry)
 
+    run.batch = run_batch
     return run
 
 
@@ -293,13 +369,16 @@ def _jit_batched(subsamp, w, h, G, quality, do_scd, scd_delta, intra_thresh,
     run = build_gop_encoder(subsamp, w, h, G, quality, do_scd, scd_delta,
                             intra_thresh, stable_refresh, pyramid_levels,
                             compact)
-    vrun = jax.vmap(run)
     if mesh_key is None:
-        return jax.jit(vrun)
+        return jax.jit(run.batch)
+    # per-device closed-GOP batches: shard_map so each device runs its own
+    # pallas grid / scan with zero collectives on the frame path
+    from jax.experimental.shard_map import shard_map
     mesh = _MESHES[mesh_key]
-    shard = NamedSharding(mesh, PartitionSpec("gop"))
-    return jax.jit(vrun, in_shardings=(shard,) * 6,
-                   out_shardings=(shard, shard))
+    p = PartitionSpec("gop")
+    smapped = shard_map(run.batch, mesh=mesh, in_specs=(p,) * 6,
+                        out_specs=p, check_rep=False)
+    return jax.jit(smapped)
 
 
 _MESHES: dict = {}
