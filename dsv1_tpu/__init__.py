@@ -14,6 +14,20 @@ integer-exact JAX ops on TPU; serial byte/bit-level work is vectorized
 (prefix-sum bit packing) or handled by a small native C++ layer.
 """
 
+import os as _os
+
+# Honor an explicit JAX_PLATFORMS env override. Platform plugins installed
+# via sitecustomize (e.g. the axon TPU relay) may call
+# jax.config.update("jax_platforms", ...) at interpreter startup, which
+# silently overrides the env var; a process pinned to cpu (tests, CLI
+# subprocesses) would then still initialize — and possibly hang on — the
+# remote TPU backend.
+_envp = _os.environ.get("JAX_PLATFORMS", "")
+if _envp and "axon" not in _envp.split(","):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _envp)
+
 from .constants import (
     SUBSAMP_444, SUBSAMP_422, SUBSAMP_420, SUBSAMP_411,
     MAX_QUALITY, quality_percent,

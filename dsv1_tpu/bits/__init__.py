@@ -34,6 +34,7 @@ def lib():
         _lib = ctypes.CDLL(str(_SO))
         _lib.dsv1n_parse_hzcc.restype = ctypes.c_int32
         _lib.dsv1n_pack_picture.restype = ctypes.c_int32
+        _lib.dsv1n_pack_chunk.restype = ctypes.c_int32
     return _lib
 
 
@@ -155,6 +156,83 @@ def pack_picture(fourcc: bytes, version: int, pkt_type: int, fnum: int,
             _u8p(out), ctypes.c_uint32(cap))
         if n >= 0:
             return bytearray(out[:n].tobytes())
+        cap *= 2
+
+
+def pack_chunk(fourcc: bytes, version: int, blk_w: int, blk_h: int,
+               nbh: int, nbv: int, quant: int, qp_bits: int,
+               meta_pkt: bytes, C: int, G: int, g0: int, ngops: int,
+               nframes: int, iq8, ipos, ivals, idc, istable,
+               pruns, pvals, pcnt, pdc, phasref, pmode, pmvx, pmvy,
+               psub, pstable, prev_link: int):
+    """Assemble a whole chunk (C gops x G frames) of GOP-parallel encoder
+    output into one packet byte stream natively (dsv1n_pack_chunk).
+
+    iq8/ipos/ivals: per-plane lists of [C, ...] arrays (dense int8 intra
+    planes + sorted exception lists); pruns/pvals/pcnt: per-plane lists of
+    [C, G-1, K] sparse (run, value) arrays + counts. Returns
+    (bytes, new_prev_link).
+    """
+    L = lib()
+    fcc = np.frombuffer(fourcc, np.uint8)
+    meta = np.frombuffer(bytes(meta_pkt), np.uint8)
+
+    def ptrs(arrs, dt):
+        arrs = [np.ascontiguousarray(a, dt) for a in arrs]
+        box = (ctypes.c_void_p * 3)(*[a.ctypes.data for a in arrs])
+        return arrs, box
+
+    iq8_a, iq8_p = ptrs(iq8, np.int8)
+    ipos_a, ipos_p = ptrs(ipos, np.int32)
+    ivals_a, ivals_p = ptrs(ivals, np.int32)
+    pruns_a, pruns_p = ptrs(pruns, np.uint16)
+    pvals_a, pvals_p = ptrs(pvals, np.int16)
+    pcnt_a, pcnt_p = ptrs(pcnt, np.int32)
+    iN = np.asarray([a.shape[-1] for a in iq8_a], np.int32)
+    iK = np.asarray([a.shape[-1] for a in ipos_a], np.int32)
+    pK = np.asarray([a.shape[-1] for a in pruns_a], np.int32)
+    idc = np.ascontiguousarray(idc, np.int32)
+    istable = np.ascontiguousarray(istable, np.uint8)
+    pdc = np.ascontiguousarray(pdc, np.int32)
+    phasref = np.ascontiguousarray(phasref, np.uint8)
+    pmode = np.ascontiguousarray(pmode, np.uint8)
+    pmvx = np.ascontiguousarray(pmvx, np.int16)
+    pmvy = np.ascontiguousarray(pmvy, np.int16)
+    psub = np.ascontiguousarray(psub, np.uint8)
+    pstable = np.ascontiguousarray(pstable, np.uint8)
+    nblk = nbh * nbv
+    # capacity: exact symbol counts are known (sparse counts + dense
+    # nonzeros); 10 bytes/symbol is a safe per-symbol bound
+    nsym = sum(int(np.count_nonzero(a)) for a in iq8_a) \
+        + sum(int(a.shape[-1]) for a in ipos_a) * C \
+        + sum(int(c.sum()) for c in pcnt_a)
+    cap = (len(meta) + 64) * C + (C * G) * (192 + nblk * 10) + nsym * 10
+    pl = ctypes.c_int64(prev_link)
+    while True:
+        out = np.zeros(cap, np.uint8)
+        n = L.dsv1n_pack_chunk(
+            _u8p(fcc), ctypes.c_uint8(version),
+            ctypes.c_int32(blk_w), ctypes.c_int32(blk_h),
+            ctypes.c_int32(nbh), ctypes.c_int32(nbv),
+            ctypes.c_int32(quant), ctypes.c_int32(qp_bits),
+            _u8p(meta), ctypes.c_int32(meta.size),
+            ctypes.c_int32(C), ctypes.c_int32(G), ctypes.c_int64(g0),
+            ctypes.c_int64(ngops), ctypes.c_int64(nframes),
+            iq8_p, ipos_p, ivals_p,
+            iN.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            iK.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            idc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            _u8p(istable),
+            pruns_p, pvals_p, pcnt_p,
+            pK.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            pdc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            _u8p(phasref), _u8p(pmode),
+            pmvx.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            pmvy.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            _u8p(psub), _u8p(pstable),
+            ctypes.byref(pl), _u8p(out), ctypes.c_int64(cap))
+        if n >= 0:
+            return out[:n].tobytes(), int(pl.value)
         cap *= 2
 
 

@@ -74,7 +74,7 @@ struct BitWriter {
     inline void put_bits(uint64_t v, int n) {
         for (int i = n - 1; i >= 0; i--) {
             uint32_t byte = pos >> 3;
-            if (byte >= cap) return;
+            if (byte >= cap) { pos = cap * 8 + 1; return; } // sticky overflow
             if ((v >> i) & 1) buf[byte] |= (uint8_t)(1u << (7 - (pos & 7)));
             pos++;
         }
@@ -391,6 +391,251 @@ int32_t dsv1n_pack_picture(
     w.align();
     if (w.pos > w.cap * 8) return -1;
     return (int32_t)(w.pos >> 3);
+}
+
+namespace {
+
+// Dense int8 plane (with sorted exception overrides, e.g. large LL values)
+// -> one plane section, extracting the zero-run symbol stream in the same
+// pass that writes it (run i+1 precedes value i on the wire, hzcc.c:176-283).
+inline void put_plane_dense8_w(BitWriter& w, const int8_t* q, int32_t n,
+                               const int32_t* epos, const int32_t* evals,
+                               int32_t K, int32_t dc) {
+    w.align();
+    uint32_t startp = w.pos >> 3;
+    w.put_bits(0, 32); // length placeholder
+    put_seg_w(w, dc);
+    w.align();
+    uint32_t nruns_bit = w.pos;
+    w.put_bits(0, 32); // nruns placeholder (patched below)
+    w.align();
+    int32_t run = 0, nruns = 0, prevval = 0, ei = 0;
+    bool have_prev = false;
+    for (int32_t i = 0; i < n; i++) {
+        int32_t v = q[i];
+        if (ei < K && epos[ei] == i) v = evals[ei++];
+        if (v != 0) {
+            put_ueg_w(w, (uint32_t)run);
+            if (have_prev) put_neg_w(w, prevval);
+            prevval = v;
+            have_prev = true;
+            nruns++;
+            run = 0;
+        } else {
+            run++;
+        }
+    }
+    if (have_prev) put_neg_w(w, prevval);
+    w.align();
+    if ((nruns_bit >> 3) + 4 <= w.cap) {
+        uint8_t* p = w.buf + (nruns_bit >> 3);
+        p[0] = (uint8_t)(nruns >> 24); p[1] = (uint8_t)(nruns >> 16);
+        p[2] = (uint8_t)(nruns >> 8);  p[3] = (uint8_t)nruns;
+    }
+    w.put_bits(0x55, 8);
+    w.align();
+    if (w.pos <= w.cap * 8)
+        patch_u32(w.buf, startp, (w.pos >> 3) - startp - 4);
+}
+
+// Sparse (run, value) list in 16-bit storage -> one plane section.
+inline void put_plane_sparse16_w(BitWriter& w, const uint16_t* runs,
+                                 const int16_t* vals, int32_t n, int32_t dc) {
+    w.align();
+    uint32_t startp = w.pos >> 3;
+    w.put_bits(0, 32);
+    put_seg_w(w, dc);
+    w.align();
+    w.put_bits((uint32_t)n, 32);
+    w.align();
+    if (n > 0) {
+        put_ueg_w(w, runs[0]);
+        for (int32_t i = 1; i < n; i++) {
+            put_ueg_w(w, runs[i]);
+            put_neg_w(w, vals[i - 1]);
+        }
+        put_neg_w(w, vals[n - 1]);
+    }
+    w.align();
+    w.put_bits(0x55, 8);
+    w.align();
+    if (w.pos <= w.cap * 8)
+        patch_u32(w.buf, startp, (w.pos >> 3) - startp - 4);
+}
+
+// Shared picture-packet prologue: header through the 11-bit quant field.
+// Returns false if the output overflowed.
+inline void put_picture_head_w(BitWriter& w, const uint8_t* fourcc,
+                               uint8_t version, uint8_t pkt_type,
+                               uint32_t fnum, int32_t blk_w, int32_t blk_h,
+                               int32_t nbh, int32_t nbv,
+                               const uint8_t* stable, int has_ref,
+                               const uint8_t* modes, const int16_t* mvx,
+                               const int16_t* mvy, const uint8_t* submask,
+                               int32_t quant, int32_t qp_bits,
+                               uint8_t* scratch, uint32_t scap,
+                               uint8_t* mscratch, uint32_t mcap) {
+    for (int i = 0; i < 4; i++) w.put_bits(fourcc[i], 8);
+    w.put_bits(version, 8);
+    w.put_bits(pkt_type, 8);
+    w.put_bits(0, 32); // prev link (patched by caller)
+    w.put_bits(0, 32); // next link (patched by caller)
+    w.align();
+    w.put_bits(fnum, 32);
+    w.align();
+    put_ueg_w(w, (uint32_t)(blk_w >> 2));
+    put_ueg_w(w, (uint32_t)(blk_h >> 2));
+    w.align();
+    int32_t nblk = nbh * nbv;
+    {
+        memset(scratch, 0, scap);
+        BitWriter sw(scratch, scap);
+        uint32_t nz = 0;
+        for (int32_t i = 0; i < nblk; i++) {
+            if (stable[i] & 1) { put_ueg_w(sw, nz); nz = 0; } else nz++;
+        }
+        put_ueg_w(sw, nz);
+        sw.align();
+        uint32_t slen = sw.pos >> 3;
+        put_ueg_w(w, slen);
+        w.align();
+        put_bytes_w(w, scratch, slen);
+    }
+    if (has_ref) {
+        memset(mscratch, 0, 4 * mcap);
+        uint32_t mlens[4];
+        dsv1n_encode_motion(modes, mvx, mvy, submask, nbh, nbv,
+                            mscratch, &mlens[0], mscratch + mcap, &mlens[1],
+                            mscratch + 2 * mcap, &mlens[2],
+                            mscratch + 3 * mcap, &mlens[3], mcap);
+        w.align();
+        for (int s = 0; s < 4; s++) {
+            w.align();
+            put_ueg_w(w, mlens[s]);
+            w.align();
+            put_bytes_w(w, mscratch + s * mcap, mlens[s]);
+        }
+    }
+    w.align();
+    w.put_bits((uint32_t)quant, qp_bits);
+    return;
+}
+
+} // namespace
+
+// Assemble a whole chunk of GOP-parallel encoder output — C gops x G
+// frames — into a contiguous packet byte stream in one call: metadata
+// packet per GOP start (dsv_encoder.c:624-652), picture packets with
+// stability ZBRLE / motion substreams / three plane sections, and the
+// prev/next link-offset chain (dsv_encoder.c:170-192). The GOP-start
+// intra frame arrives as dense int8 planes plus a sorted LL exception
+// list; P frames as capped sparse (run, value) lists — exactly the
+// device-side compaction layout (parallel/gop.py).
+//
+// Returns bytes written, or -1 if outcap was insufficient (caller
+// retries with a doubled buffer). *prev_link_io carries the picture
+// link chain across chunks.
+int32_t dsv1n_pack_chunk(
+    const uint8_t* fourcc, uint8_t version,
+    int32_t blk_w, int32_t blk_h, int32_t nbh, int32_t nbv,
+    int32_t quant, int32_t qp_bits,
+    const uint8_t* meta_pkt, int32_t meta_len,
+    int32_t C, int32_t G, int64_t g0, int64_t ngops, int64_t nframes,
+    // I-frame fields (one per gop row)
+    const int8_t* const* iq8,    // [3] -> [C, iN[c]] dense quantized planes
+    const int32_t* const* ipos,  // [3] -> [C, iK[c]] sorted exception pos
+    const int32_t* const* ivals, // [3] -> [C, iK[c]] exception values
+    const int32_t* iN, const int32_t* iK,
+    const int32_t* idc,          // [C, 3]
+    const uint8_t* istable,      // [C, nblk]
+    // P-frame fields ([C, G-1, ...])
+    const uint16_t* const* pruns, // [3] -> [C, G-1, pK[c]]
+    const int16_t* const* pvals,  // [3] -> [C, G-1, pK[c]]
+    const int32_t* const* pcnt,   // [3] -> [C, G-1]
+    const int32_t* pK,
+    const int32_t* pdc,           // [C, G-1, 3]
+    const uint8_t* phasref,       // [C, G-1]
+    const uint8_t* pmode,         // [C, G-1, nblk]
+    const int16_t* pmvx, const int16_t* pmvy,
+    const uint8_t* psub,          // [C, G-1, nblk]
+    const uint8_t* pstable,       // [C, G-1, nblk]
+    int64_t* prev_link_io,
+    uint8_t* out, int64_t outcap) {
+    int32_t nblk = nbh * nbv;
+    uint32_t scap = (uint32_t)(nblk + 64);
+    uint32_t mcap = (uint32_t)(nblk * 16 + 64);
+    uint8_t* scratch = new uint8_t[scap];
+    uint8_t* mscratch = new uint8_t[4 * mcap];
+    int64_t off = 0;
+    int64_t prev_link = *prev_link_io;
+    int32_t GP = G - 1;
+    bool overflow = false;
+
+    for (int32_t g = 0; g < C && !overflow; g++) {
+        int64_t gabs = g0 + g;
+        if (gabs >= ngops) break;
+        // metadata re-emit at GOP start (prev link stays 0)
+        if (off + meta_len > outcap) { overflow = true; break; }
+        memcpy(out + off, meta_pkt, (size_t)meta_len);
+        off += meta_len;
+        for (int32_t i = 0; i < G; i++) {
+            int64_t fnum = gabs * (int64_t)G + i;
+            if (fnum >= nframes) break;
+            int has_ref = i == 0 ? 0 : (int)phasref[g * GP + (i - 1)];
+            uint8_t pt = (uint8_t)(0x04 | (1 << 1) | (has_ref ? 1 : 0));
+            if (outcap - off < 64) { overflow = true; break; }
+            BitWriter w(out + off, (uint32_t)((outcap - off) < 0x70000000
+                                              ? (outcap - off) : 0x70000000));
+            memset(out + off, 0, 64); // header region; plane writers are
+                                      // reached only via aligned offsets
+                                      // into freshly zeroed capacity
+            // zero the full remaining capacity lazily: BitWriter ORs bits,
+            // so bytes must be zero. Zero in 1MB steps as we go instead of
+            // the whole buffer each call.
+            if (i == 0) {
+                const int8_t* q[3]; const int32_t *ep[3], *ev[3];
+                for (int c = 0; c < 3; c++) {
+                    q[c] = iq8[c] + (int64_t)g * iN[c];
+                    ep[c] = ipos[c] + (int64_t)g * iK[c];
+                    ev[c] = ivals[c] + (int64_t)g * iK[c];
+                }
+                put_picture_head_w(w, fourcc, version, pt, (uint32_t)fnum,
+                                   blk_w, blk_h, nbh, nbv,
+                                   istable + (int64_t)g * nblk, 0,
+                                   nullptr, nullptr, nullptr, nullptr,
+                                   quant, qp_bits, scratch, scap,
+                                   mscratch, mcap);
+                for (int c = 0; c < 3; c++)
+                    put_plane_dense8_w(w, q[c], iN[c], ep[c], ev[c], iK[c],
+                                       idc[g * 3 + c]);
+            } else {
+                int64_t fi = (int64_t)g * GP + (i - 1);
+                put_picture_head_w(w, fourcc, version, pt, (uint32_t)fnum,
+                                   blk_w, blk_h, nbh, nbv,
+                                   pstable + fi * nblk, has_ref,
+                                   pmode + fi * nblk, pmvx + fi * nblk,
+                                   pmvy + fi * nblk, psub + fi * nblk,
+                                   quant, qp_bits, scratch, scap,
+                                   mscratch, mcap);
+                for (int c = 0; c < 3; c++)
+                    put_plane_sparse16_w(w, pruns[c] + fi * pK[c],
+                                         pvals[c] + fi * pK[c],
+                                         pcnt[c][fi], pdc[fi * 3 + c]);
+            }
+            w.align();
+            if (w.pos > w.cap * 8) { overflow = true; break; }
+            int64_t plen = w.pos >> 3;
+            patch_u32(out + off, 6, (uint32_t)prev_link);   // prev link
+            patch_u32(out + off, 10, (uint32_t)plen);       // next link
+            prev_link = plen;
+            off += plen;
+        }
+    }
+    delete[] scratch;
+    delete[] mscratch;
+    if (overflow) return -1;
+    *prev_link_io = prev_link;
+    return (int32_t)off;
 }
 
 } // extern "C"

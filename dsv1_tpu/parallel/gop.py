@@ -37,9 +37,9 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-from ..constants import (GOP_INTRA, MAX_BLOCK_SIZE, MAX_QUALITY,
-                         MIN_BLOCK_SIZE, MODE_INTER, RATE_CONTROL_CRF,
-                         div_round)
+from ..constants import (FOURCC, GOP_INTRA, MAX_BLOCK_SIZE, MAX_QP_BITS,
+                         MAX_QUALITY, MIN_BLOCK_SIZE, MODE_INTER,
+                         RATE_CONTROL_CRF, VERSION_MINOR, div_round)
 from ..models.bitstream import (encode_eos_packet, encode_metadata_packet,
                                 set_link_offsets)
 from ..models.encoder import (EncoderConfig, _pyr_layouts,
@@ -549,6 +549,8 @@ def encode_stream_gops(frames, meta: Metadata,
         blob.copy_to_host_async()
         return blob
 
+    meta_pkt = bytes(encode_metadata_packet(meta))
+
     inflight = {}
     if starts:
         inflight[starts[0]] = dispatch(starts[0])
@@ -570,6 +572,39 @@ def encode_stream_gops(frames, meta: Metadata,
                     cfg.stable_refresh, cfg.pyramid_levels, key, 0)
                 (out_i, outs_p), _ = unpack_f(
                     jax.device_get(dispatch(s, full)))
+
+        if "qcomp_i" in out_i:
+            # fast path: one native call assembles the whole chunk's
+            # packets (metadata re-emit, pictures, link chain)
+            from .. import bits
+            if outs_p is not None:
+                pr = [outs_p["qcomp_p"][c][0] for c in range(3)]
+                pv = [outs_p["qcomp_p"][c][1] for c in range(3)]
+                pc = [outs_p["qcomp_p"][c][2] for c in range(3)]
+                pdc, phr = outs_p["dc"], outs_p["has_ref"]
+                pmo, pmx = outs_p["mode"], outs_p["mvx"]
+                pmy, psu = outs_p["mvy"], outs_p["submask"]
+                pst = outs_p["stable"]
+            else:
+                z16 = np.zeros((chunk, 0, 1), np.uint16)
+                pr = [z16] * 3
+                pv = [z16.view(np.int16)] * 3
+                pc = [np.zeros((chunk, 0), np.int32)] * 3
+                pdc = np.zeros((chunk, 0, 3), np.int32)
+                phr = np.zeros((chunk, 0), np.uint8)
+                pmo = psu = np.zeros((chunk, 0, 1), np.uint8)
+                pmx = pmy = np.zeros((chunk, 0, 1), np.int16)
+                pst = np.zeros((chunk, 0, 1), np.uint8)
+            pkt, prev_link = bits.pack_chunk(
+                FOURCC, VERSION_MINOR, blk_w, blk_h, nbh, nbv, quant,
+                MAX_QP_BITS, meta_pkt, chunk, G, s, ngops, N,
+                [out_i["qcomp_i"][c][0] for c in range(3)],
+                [out_i["qcomp_i"][c][1] for c in range(3)],
+                [out_i["qcomp_i"][c][2] for c in range(3)],
+                out_i["dc"], out_i["stable"],
+                pr, pv, pc, pdc, phr, pmo, pmx, pmy, psu, pst, prev_link)
+            out.extend(pkt)
+            continue
 
         def frame_out(i):
             return out_i if i == 0 else outs_p
