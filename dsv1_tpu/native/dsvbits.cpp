@@ -541,6 +541,7 @@ int32_t dsv1n_pack_chunk(
     int32_t quant, int32_t qp_bits,
     const uint8_t* meta_pkt, int32_t meta_len,
     int32_t C, int32_t G, int64_t g0, int64_t ngops, int64_t nframes,
+    int32_t pt_ref, // is_ref bit of the picture packet type (0 for gop0)
     // I-frame fields (one per gop row)
     const int8_t* const* iq8,    // [3] -> [C, iN[c]] dense quantized planes
     const int32_t* const* ipos,  // [3] -> [C, iK[c]] sorted exception pos
@@ -582,7 +583,8 @@ int32_t dsv1n_pack_chunk(
             int64_t fnum = gabs * (int64_t)G + i;
             if (fnum >= nframes) break;
             int has_ref = i == 0 ? 0 : (int)phasref[g * GP + (i - 1)];
-            uint8_t pt = (uint8_t)(0x04 | (1 << 1) | (has_ref ? 1 : 0));
+            uint8_t pt = (uint8_t)(0x04 | ((pt_ref ? 1 : 0) << 1)
+                                   | (has_ref ? 1 : 0));
             if (outcap - off < 64) { overflow = true; break; }
             BitWriter w(out + off, (uint32_t)((outcap - off) < 0x70000000
                                               ? (outcap - off) : 0x70000000));

@@ -63,6 +63,72 @@ def block_geometry(w: int, h: int):
     return blk_w, blk_h, div_round(w, blk_w), div_round(h, blk_h)
 
 
+_BLOB_NPDT = {"8": np.int8, "16": np.int16, "32": np.int32}
+_BLOB_W = {"8": 1, "16": 2, "32": 4}
+
+
+def _blob_concat(tree, C, layout_box):
+    """Device side: coalesce an output pytree of (C, ...)-batched arrays
+    into one (C, nbytes) int8 blob (narrow dtypes bitcast to int8) so
+    the host pays a single D2H fetch per chunk. The static layout is
+    recorded in layout_box at trace time."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    specs, parts = [], []
+    for a in leaves:
+        a2 = a.reshape(C, -1)
+        if a.dtype in (jnp.int8, jnp.uint8, jnp.bool_):
+            kind = "8"
+            b = a2.astype(jnp.int8)
+        elif a.dtype in (jnp.int16, jnp.uint16):
+            kind = "16"
+            b = jax.lax.bitcast_convert_type(
+                a2.astype(jnp.int16), jnp.int8).reshape(C, -1)
+        else:
+            kind = "32"
+            b = jax.lax.bitcast_convert_type(
+                a2.astype(jnp.int32), jnp.int8).reshape(C, -1)
+        specs.append((kind, a.dtype, a.shape, a2.shape[1]))
+        parts.append(b)
+    layout_box["specs"] = specs
+    layout_box["treedef"] = treedef
+    return jnp.concatenate(parts, axis=1)
+
+
+def _blob_split(blob, layout_box):
+    """Host side: byte blob (already device_get) -> output pytree."""
+    buf = np.asarray(blob)
+    off = 0
+    leaves = []
+    for kind, dtype, shape, ncols in layout_box["specs"]:
+        nb_ = ncols * _BLOB_W[kind]
+        seg = np.ascontiguousarray(buf[:, off:off + nb_]) \
+            .view(_BLOB_NPDT[kind])
+        off += nb_
+        # leading dim from the blob, not the recorded shape: under
+        # shard_map the trace sees per-shard batches; unsigned dtypes
+        # round-trip bit-exactly through the signed astype (mod 2^n)
+        leaves.append(seg.reshape((seg.shape[0],) + shape[1:])
+                      .astype(dtype))
+    return jax.tree_util.tree_unflatten(layout_box["treedef"], leaves)
+
+
+def _compact_dense_i(qv, ll_n):
+    """Dense int8 + LL exception list (intra planes are dense, with
+    values beyond int8 essentially only in the small LL region)."""
+    q8 = jnp.clip(qv, -128, 127).astype(jnp.int8)
+    ll = qv[:ll_n]
+    big_ll = jnp.abs(ll) > 127
+    K = min(256, ll_n)
+    # fill points past the whole plane so the host filter
+    # (pos < plane size) drops padding entries
+    pos = jnp.nonzero(big_ll, size=K, fill_value=qv.shape[0])[0] \
+        .astype(jnp.int32)
+    vs = jnp.where(pos < ll_n, ll[jnp.clip(pos, 0, ll_n - 1)], 0)
+    nbig = (jnp.sum((jnp.abs(qv[ll_n:]) > 127).astype(jnp.int32))
+            + jnp.maximum(jnp.sum(big_ll.astype(jnp.int32)) - K, 0))
+    return q8, pos, vs, nbig
+
+
 def _wrap16(x):
     """int16 two's-complement wrap on int32 values (the reference stores
     the accumulators as int16, dsv_encoder.h:101-106). Kept in int32 on
@@ -151,22 +217,6 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
                 "lo_tex": z, "lo_var": z, "high_detail": z,
                 "nintra": jnp.int32(0), "intra_pct": jnp.int32(0)}
 
-    def compact_i(qv, ll_n):
-        """Dense int8 + LL exception list (intra planes are dense, with
-        values beyond int8 essentially only in the small LL region)."""
-        q8 = jnp.clip(qv, -128, 127).astype(jnp.int8)
-        ll = qv[:ll_n]
-        big_ll = jnp.abs(ll) > 127
-        K = min(256, ll_n)
-        # fill points past the whole plane so the host filter
-        # (pos < plane size) drops padding entries
-        pos = jnp.nonzero(big_ll, size=K, fill_value=qv.shape[0])[0] \
-            .astype(jnp.int32)
-        vs = jnp.where(pos < ll_n, ll[jnp.clip(pos, 0, ll_n - 1)], 0)
-        nbig = (jnp.sum((jnp.abs(qv[ll_n:]) > 127).astype(jnp.int32))
-                + jnp.maximum(jnp.sum(big_ll.astype(jnp.int32)) - K, 0))
-        return q8, pos, vs, nbig
-
     def compact_p(qv):
         """Capped (zero-run, value) nonzero list (P planes are sparse).
 
@@ -220,7 +270,7 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
         return recon, stability, refresh_ctr, out
 
     compact_i_tagged = ("qcomp_i", lambda qvals: tuple(
-        compact_i(qv, ll_n) for qv, ll_n in zip(qvals, ll_sizes)))
+        _compact_dense_i(qv, ll_n) for qv, ll_n in zip(qvals, ll_sizes)))
     compact_p_tagged = ("qcomp_p",
                         lambda qvals: tuple(compact_p(qv) for qv in qvals))
 
@@ -328,47 +378,11 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
 
     def run_blobs(y, u, v, prev_al0, stab0, refresh0):
         tree = run_batch(y, u, v, prev_al0, stab0, refresh0)
-        leaves, treedef = jax.tree_util.tree_flatten(tree)
-        C = y.shape[0]
-        specs, parts = [], []
-        for a in leaves:
-            a2 = a.reshape(C, -1)
-            if a.dtype in (jnp.int8, jnp.uint8, jnp.bool_):
-                kind = "8"
-                b = a2.astype(jnp.int8)
-            elif a.dtype in (jnp.int16, jnp.uint16):
-                kind = "16"
-                b = jax.lax.bitcast_convert_type(
-                    a2.astype(jnp.int16), jnp.int8).reshape(C, -1)
-            else:
-                kind = "32"
-                b = jax.lax.bitcast_convert_type(
-                    a2.astype(jnp.int32), jnp.int8).reshape(C, -1)
-            specs.append((kind, a.dtype, a.shape, a2.shape[1]))
-            parts.append(b)
-        layout_box["specs"] = specs
-        layout_box["treedef"] = treedef
-        return jnp.concatenate(parts, axis=1)
-
-    _npdt = {"8": np.int8, "16": np.int16, "32": np.int32}
-    _w = {"8": 1, "16": 2, "32": 4}
+        return _blob_concat(tree, y.shape[0], layout_box)
 
     def unpack(blob):
         """Host side: byte blob (already device_get) -> output pytree."""
-        buf = np.asarray(blob)
-        off = 0
-        leaves = []
-        for kind, dtype, shape, ncols in layout_box["specs"]:
-            nb_ = ncols * _w[kind]
-            seg = np.ascontiguousarray(buf[:, off:off + nb_]) \
-                .view(_npdt[kind])
-            off += nb_
-            # leading dim from the blob, not the recorded shape: under
-            # shard_map the trace sees per-shard batches; unsigned dtypes
-            # round-trip bit-exactly through the signed astype (mod 2^n)
-            leaves.append(seg.reshape((seg.shape[0],) + shape[1:])
-                          .astype(dtype))
-        return jax.tree_util.tree_unflatten(layout_box["treedef"], leaves)
+        return _blob_split(blob, layout_box)
 
     def run(y, u, v, prev_al0, stab0, refresh0):
         """Single-GOP convenience wrapper (driver compile check)."""
@@ -381,16 +395,21 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
 
 
 @lru_cache(maxsize=8)
-def build_intra_encoder(subsamp: int, w: int, h: int, quality: int):
+def build_intra_encoder(subsamp: int, w: int, h: int, quality: int,
+                        compact: int = 1024):
     """Pure fn for one intra-only frame (gop 0): no ME, no recon, all
     blocks stable (the zeroed accumulators make every block stable,
-    dsv_encoder.c:383-393)."""
+    dsv_encoder.c:383-393). compact != 0 returns planes as dense int8 +
+    LL exception lists (like the GOP path's I frames) to shrink the
+    D2H transfer."""
     blk_w, blk_h, nbh, nbv = block_geometry(w, h)
     prep = make_prep(subsamp, w, h, 0)
     core_i = make_encode_core(subsamp, w, h, blk_w, blk_h, nbh, nbv,
                               has_ref=False, want_recon=False)
     quant = crf_quant(quality)
     nblk = nbh * nbv
+    ll_sizes = [int(t.seg_bounds[1])
+                for t in coef_geometry(subsamp, w, h, nbh, nbv)[2]]
 
     def run(y, u, v):
         imgs, _ = prep((y, u, v))
@@ -398,8 +417,14 @@ def build_intra_encoder(subsamp: int, w: int, h: int, quality: int):
         z = jnp.zeros(nblk, jnp.int32)
         qvals, dcs, _ = core_i(imgs[0], jnp.int32(0), jnp.int32(quant),
                                stable, z, z, z, z)
-        return {"qvals": tuple(qvals),
-                "dc": jnp.stack([jnp.asarray(d, jnp.int32) for d in dcs])}
+        out = {"dc": jnp.stack([jnp.asarray(d, jnp.int32) for d in dcs])}
+        if not compact:
+            out["qvals"] = tuple(qvals)
+        else:
+            out["qcomp_i"] = tuple(
+                _compact_dense_i(qv, ll_n)
+                for qv, ll_n in zip(qvals, ll_sizes))
+        return out
 
     return run
 
@@ -473,20 +498,77 @@ def encode_stream_gops(frames, meta: Metadata,
         out.extend(pkt)
 
     if cfg.gop == GOP_INTRA:
-        run = build_intra_encoder(subsamp, w, h, cfg.quality)
-        vrun = jax.jit(jax.vmap(run))
-        y = np.stack([f[0] for f in frames])
-        u = np.stack([f[1] for f in frames])
-        v = np.stack([f[2] for f in frames])
-        o = jax.device_get(vrun(y, u, v))
-        stable = np.ones(nbh * nbv, np.uint8)
-        for i in range(N):
-            # gop 0: every frame is a GOP start -> metadata re-emitted
-            # before every picture (dsv_encoder.c:624-652)
-            out.extend(encode_metadata_packet(meta))
-            qv = [o["qvals"][c][i] for c in range(3)]
-            emit_pic(pack_picture(i, blk_w, blk_h, stable, False, False,
-                                  None, quant, qv, o["dc"][i], nbh, nbv))
+        # gop 0: every frame is a GOP start -> metadata re-emitted before
+        # every picture (dsv_encoder.c:624-652), pt has is_ref=0. Chunked
+        # + blob-coalesced + native chunk packing like the GOP path.
+        from .. import bits
+        layout_box = {}
+        run1 = build_intra_encoder(subsamp, w, h, cfg.quality)
+
+        def batch_run(y, u, v):
+            return _blob_concat(jax.vmap(run1)(y, u, v), y.shape[0],
+                                layout_box)
+
+        vrun = jax.jit(batch_run)
+        chunkf = max(1, min(64, (8 << 20) // max(w * h, 1), N))
+        npad = div_round(N, chunkf) * chunkf
+        meta_pkt = bytes(encode_metadata_packet(meta))
+        nblk = nbh * nbv
+
+        def stackc(ci, s):
+            return np.stack([frames[min(i, N - 1)][ci]
+                             for i in range(s, s + chunkf)])
+
+        def dispatch_i(s):
+            blob = vrun(stackc(0, s), stackc(1, s), stackc(2, s))
+            blob.copy_to_host_async()
+            return blob
+
+        starts = list(range(0, npad, chunkf))
+        inflight = {}
+        if starts:
+            inflight[starts[0]] = dispatch_i(starts[0])
+        for ci, s in enumerate(starts):
+            if ci + 1 < len(starts):
+                inflight[starts[ci + 1]] = dispatch_i(starts[ci + 1])
+            o = _blob_split(jax.device_get(inflight.pop(s)), layout_box)
+            if any(np.any(o["qcomp_i"][c][3] > 0) for c in range(3)):
+                # rare huge-LL overflow: redo this chunk densely
+                box_f = {}
+                run_f = build_intra_encoder(subsamp, w, h, cfg.quality, 0)
+
+                def batch_f(y, u, v):
+                    return _blob_concat(jax.vmap(run_f)(y, u, v),
+                                        y.shape[0], box_f)
+
+                o = _blob_split(jax.device_get(jax.jit(batch_f)(
+                    stackc(0, s), stackc(1, s), stackc(2, s))), box_f)
+                stable = np.ones(nblk, np.uint8)
+                for i in range(s, min(s + chunkf, N)):
+                    out.extend(meta_pkt)
+                    qv = [o["qvals"][c][i - s] for c in range(3)]
+                    emit_pic(pack_picture(i, blk_w, blk_h, stable, False,
+                                          False, None, quant, qv,
+                                          o["dc"][i - s], nbh, nbv))
+                continue
+            z16 = np.zeros((chunkf, 0, 1), np.uint16)
+            pkt, prev_link = bits.pack_chunk(
+                FOURCC, VERSION_MINOR, blk_w, blk_h, nbh, nbv, quant,
+                MAX_QP_BITS, meta_pkt, chunkf, 1, s, N, N, 0,
+                [o["qcomp_i"][c][0] for c in range(3)],
+                [o["qcomp_i"][c][1] for c in range(3)],
+                [o["qcomp_i"][c][2] for c in range(3)],
+                o["dc"], np.ones((chunkf, nblk), np.uint8),
+                [z16] * 3, [z16.view(np.int16)] * 3,
+                [np.zeros((chunkf, 0), np.int32)] * 3,
+                np.zeros((chunkf, 0, 3), np.int32),
+                np.zeros((chunkf, 0), np.uint8),
+                np.zeros((chunkf, 0, 1), np.uint8),
+                np.zeros((chunkf, 0, 1), np.int16),
+                np.zeros((chunkf, 0, 1), np.int16),
+                np.zeros((chunkf, 0, 1), np.uint8),
+                np.zeros((chunkf, 0, 1), np.uint8), prev_link)
+            out.extend(pkt)
         out.extend(encode_eos_packet(prev_link))
         return bytes(out)
 
@@ -597,7 +679,7 @@ def encode_stream_gops(frames, meta: Metadata,
                 pst = np.zeros((chunk, 0, 1), np.uint8)
             pkt, prev_link = bits.pack_chunk(
                 FOURCC, VERSION_MINOR, blk_w, blk_h, nbh, nbv, quant,
-                MAX_QP_BITS, meta_pkt, chunk, G, s, ngops, N,
+                MAX_QP_BITS, meta_pkt, chunk, G, s, ngops, N, 1,
                 [out_i["qcomp_i"][c][0] for c in range(3)],
                 [out_i["qcomp_i"][c][1] for c in range(3)],
                 [out_i["qcomp_i"][c][2] for c in range(3)],
