@@ -35,6 +35,7 @@ def lib():
         _lib.dsv1n_parse_hzcc.restype = ctypes.c_int32
         _lib.dsv1n_pack_picture.restype = ctypes.c_int32
         _lib.dsv1n_pack_chunk.restype = ctypes.c_int32
+        _lib.dsv1n_parse_picture.restype = ctypes.c_int32
     return _lib
 
 
@@ -157,6 +158,59 @@ def pack_picture(fourcc: bytes, version: int, pkt_type: int, fnum: int,
         if n >= 0:
             return bytearray(out[:n].tobytes())
         cap *= 2
+
+
+def parse_picture(pkt: bytes, w: int, h: int, qp_bits: int,
+                  min_blk: int, max_blk: int, max_syms):
+    """Parse one picture packet natively (dsv1n_parse_picture).
+
+    max_syms: per-plane symbol caps (the traversal sizes). Returns
+    (hdr dict, stable u8[nblk], modes, mvx, mvy, submask,
+     [(dc, runs u32[n], vals i32[n], plen)] * 3) or raises ValueError on
+    malformed block dims.
+    """
+    buf = np.frombuffer(bytes(pkt), np.uint8)
+    nblk_max = ((w + min_blk - 1) // min_blk) * ((h + min_blk - 1) // min_blk)
+    hdr = np.zeros(8, np.int32)
+    stable = np.zeros(nblk_max, np.uint8)
+    modes = np.zeros(nblk_max, np.uint8)
+    mvx = np.zeros(nblk_max, np.int16)
+    mvy = np.zeros(nblk_max, np.int16)
+    submask = np.zeros(nblk_max, np.uint8)
+    ms = np.asarray(max_syms, np.int32)
+    total = int(ms.sum())
+    runs = np.empty(total, np.uint32)
+    vals = np.empty(total, np.int32)
+    pmeta = np.zeros(9, np.int32)
+    rc = lib().dsv1n_parse_picture(
+        _u8p(buf), ctypes.c_int64(buf.size),
+        ctypes.c_int32(w), ctypes.c_int32(h), ctypes.c_int32(qp_bits),
+        ctypes.c_int32(min_blk), ctypes.c_int32(max_blk),
+        hdr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _u8p(stable), _u8p(modes),
+        mvx.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        mvy.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        _u8p(submask),
+        ms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        runs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        pmeta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != 0:
+        raise ValueError("bad block dims")
+    nblk = int(hdr[4]) * int(hdr[5])
+    planes = []
+    off = 0
+    for c in range(3):
+        n = int(pmeta[c * 3 + 1])
+        planes.append((int(pmeta[c * 3]), runs[off:off + n],
+                       vals[off:off + n], int(pmeta[c * 3 + 2])))
+        off += int(ms[c])
+    hdr_d = dict(fno=int(np.uint32(hdr[0])), blk_w=int(hdr[1]),
+                 blk_h=int(hdr[2]), quant=int(hdr[3]), nbh=int(hdr[4]),
+                 nbv=int(hdr[5]), has_ref=bool(hdr[6]),
+                 plen_err=bool(hdr[7]))
+    return (hdr_d, stable[:nblk], modes[:nblk], mvx[:nblk], mvy[:nblk],
+            submask[:nblk], planes)
 
 
 def pack_chunk(fourcc: bytes, version: int, blk_w: int, blk_h: int,

@@ -141,6 +141,24 @@ void dsv1n_parse_ueg(const uint8_t* buf, uint32_t len, int32_t n,
     for (int32_t i = 0; i < n; i++) out[i] = r.ueg();
 }
 
+// Parse one complete picture packet (dsv_dec picture path,
+// dsv_decoder.c:286-412): header fields, stability ZBRLE, motion
+// substreams with the raster MV predictor, and the three HZCC plane
+// sections as (dc, runs, vals) symbol lists. One call per packet —
+// replaces a per-field host bit walk.
+//
+// hdr_out[8]: fno, blk_w, blk_h, quant, nbh, nbv, has_ref, plen_err
+// pmeta[9]:   (dc, count, plen) per plane
+// runs/vals:  3 planes back to back, max_syms[c] entries each
+// Returns 0 on success, -1 on malformed block dims.
+int32_t dsv1n_parse_picture(
+    const uint8_t* pkt, int64_t pkt_len, int32_t w, int32_t h,
+    int32_t qp_bits, int32_t min_blk, int32_t max_blk,
+    int32_t* hdr_out, uint8_t* stable, uint8_t* modes,
+    int16_t* mvx, int16_t* mvy, uint8_t* submask,
+    const int32_t* max_syms, uint32_t* runs, int32_t* vals,
+    int32_t* pmeta);
+
 static inline int32_t mv_pred_1(int32_t left, int32_t top, int32_t topleft) {
     int32_t dif = left + top - topleft;
     int32_t dl = dif - left; if (dl < 0) dl = -dl;
@@ -522,6 +540,108 @@ inline void put_picture_head_w(BitWriter& w, const uint8_t* fourcc,
 }
 
 } // namespace
+
+int32_t dsv1n_parse_picture(
+    const uint8_t* pkt, int64_t pkt_len, int32_t w, int32_t h,
+    int32_t qp_bits, int32_t min_blk, int32_t max_blk,
+    int32_t* hdr_out, uint8_t* stable, uint8_t* modes,
+    int16_t* mvx, int16_t* mvy, uint8_t* submask,
+    const int32_t* max_syms, uint32_t* runs, int32_t* vals,
+    int32_t* pmeta) {
+    BitReader r(pkt, (uint32_t)pkt_len);
+    int pkt_type = pkt[5];
+    int has_ref = pkt_type & 1;
+    r.pos = 14 * 8;
+    uint32_t fno = r.bits(32);
+    r.align();
+    int32_t blk_w = (int32_t)r.ueg() << 2;
+    int32_t blk_h = (int32_t)r.ueg() << 2;
+    if (blk_w < min_blk || blk_w > max_blk
+        || blk_h < min_blk || blk_h > max_blk)
+        return -1;
+    int32_t nbh = (w + blk_w - 1) / blk_w;
+    int32_t nbv = (h + blk_h - 1) / blk_h;
+    int32_t nblk = nbh * nbv;
+    r.align();
+
+    // stability flags (decode_stability_blocks, dsv_decoder.c:127-145)
+    uint32_t slen = r.ueg();
+    r.align();
+    {
+        uint32_t off = r.byte_pos();
+        uint32_t avail = off < pkt_len ? (uint32_t)(pkt_len - off) : 0;
+        dsv1n_zbrle_decode(pkt + off, slen < avail ? slen : avail, nblk,
+                           stable);
+        r.pos += slen * 8;
+    }
+
+    memset(modes, 0, (size_t)nblk);
+    memset(mvx, 0, (size_t)nblk * 2);
+    memset(mvy, 0, (size_t)nblk * 2);
+    memset(submask, 0, (size_t)nblk);
+    if (has_ref) {
+        // 4 length-prefixed motion substreams (dsv_decoder.c:73-124)
+        const uint8_t* sb[4];
+        uint32_t sl[4];
+        r.align();
+        for (int s = 0; s < 4; s++) {
+            uint32_t ln = r.ueg();
+            r.align();
+            uint32_t off = r.byte_pos();
+            uint32_t avail = off < pkt_len ? (uint32_t)(pkt_len - off) : 0;
+            sb[s] = pkt + off;
+            sl[s] = ln < avail ? ln : avail;
+            r.pos += ln * 8;
+            r.align();
+        }
+        dsv1n_decode_motion(sb[0], sl[0], sb[1], sl[1], sb[2], sl[2],
+                            sb[3], sl[3], nbh, nbv, modes, mvx, mvy,
+                            submask);
+        for (int32_t i = 0; i < nblk; i++)
+            if (modes[i]) stable[i] |= 2; // intra bit (hzcc stability use)
+    }
+
+    r.align();
+    int32_t quant = (int32_t)r.bits(qp_bits);
+
+    int32_t plen_err = 0;
+    int32_t roff = 0;
+    for (int c = 0; c < 3; c++) {
+        r.align();
+        int64_t plen = (int64_t)r.bits(32);
+        r.align();
+        uint32_t off = r.byte_pos();
+        int64_t avail = off < pkt_len ? pkt_len - off : 0;
+        if (plen <= 0 || plen > avail + 4) plen_err = 1;
+        // plane section: SEG raw DC, align, HZCC symbols
+        // hard read bound is the rest of the packet (like the host-side
+        // parse); plen only drives the decoder's overrun guard
+        BitReader pr(pkt + off, (uint32_t)avail);
+        int32_t dc = pr.seg();
+        pr.align();
+        uint32_t hoff = pr.byte_pos();
+        uint32_t nruns_u = 0, endbits = 0;
+        int64_t pbudget = plen > hoff ? plen - hoff : 0;
+        int32_t n = dsv1n_parse_hzcc(
+            pkt + off + hoff, (uint32_t)(avail > hoff ? avail - hoff : 0),
+            (uint32_t)pbudget, max_syms[c],
+            runs + roff, vals + roff, &nruns_u, &endbits);
+        pmeta[c * 3] = dc;
+        pmeta[c * 3 + 1] = n;
+        pmeta[c * 3 + 2] = (int32_t)plen;
+        roff += max_syms[c];
+        r.pos += (uint32_t)plen * 8;
+    }
+    hdr_out[0] = (int32_t)fno;
+    hdr_out[1] = blk_w;
+    hdr_out[2] = blk_h;
+    hdr_out[3] = quant;
+    hdr_out[4] = nbh;
+    hdr_out[5] = nbv;
+    hdr_out[6] = has_ref;
+    hdr_out[7] = plen_err;
+    return 0;
+}
 
 // Assemble a whole chunk of GOP-parallel encoder output — C gops x G
 // frames — into a contiguous packet byte stream in one call: metadata

@@ -31,15 +31,12 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ..constants import (MAX_QP_BITS, MIN_BLOCK_SIZE, MAX_BLOCK_SIZE,
-                         MODE_INTRA, PT_EOS, PT_META, div_round, pt_has_ref,
-                         pt_is_pic, pt_is_ref)
+                         PT_EOS, PT_META, div_round, pt_is_pic, pt_is_ref)
 from .. import bits
 from ..models.bitstream import iter_packets, parse_metadata, parse_packet_hdr
 from ..models.encoder import coef_geometry
 from ..models.metadata import Metadata
-from ..models.plane import parse_plane_bits
 from ..ops import bmc, frame as fr, hzcc, sbt
-from ..ops.golomb import BitReader
 
 
 @lru_cache(maxsize=8)
@@ -101,62 +98,36 @@ def _jit_batched_dec(subsamp, w, h, L, blk_w, blk_h, mesh_key):
 _MESHES: dict = {}
 
 
+@lru_cache(maxsize=16)
+def _plane_caps(subsamp: int, w: int, h: int):
+    """Per-plane traversal sizes (symbol caps) — independent of the
+    block grid, so computable before the packet's block dims are read."""
+    _, _, tables = coef_geometry(subsamp, w, h, 1, 1)
+    return tuple(t.n for t in tables)
+
+
 def _parse_picture(data: bytes, meta: Metadata):
-    """Host parse of one picture packet -> dict (dsv_decoder.c:286-412)."""
+    """Host parse of one picture packet -> dict (dsv_decoder.c:286-412).
+
+    One native call (dsv1n_parse_picture) parses the header fields, the
+    stability ZBRLE, the motion substreams (raster MV predictor) and the
+    three HZCC symbol streams; numpy scatters the quantized values into
+    grid order (last-wins over band aliases, matching the reference's
+    sequential visit order)."""
     pkt_type = parse_packet_hdr(data)
-    arr = np.frombuffer(data, np.uint8)
-    r = BitReader(data)
-    r.skip_bytes(14)
-    fno = r.get_bits(32)
-    r.align()
-    blk_w = r.get_ueg() << 2
-    blk_h = r.get_ueg() << 2
-    if not (MIN_BLOCK_SIZE <= blk_w <= MAX_BLOCK_SIZE
-            and MIN_BLOCK_SIZE <= blk_h <= MAX_BLOCK_SIZE):
-        raise ValueError("bad block dims")
-    nbh = div_round(meta.width, blk_w)
-    nbv = div_round(meta.height, blk_h)
-    has_ref = pt_has_ref(pkt_type)
-
-    r.align()
-    slen = r.get_ueg()
-    r.align()
-    stable = bits.zbrle_decode(arr[r.byte_pos:r.byte_pos + slen], nbh * nbv)
-    r.skip_bytes(slen)
-
-    n = nbh * nbv
-    modes = np.zeros(n, np.uint8)
-    mvx = np.zeros(n, np.int16)
-    mvy = np.zeros(n, np.int16)
-    submask = np.zeros(n, np.uint8)
-    if has_ref:
-        r.align()
-        subs = []
-        for _ in range(4):
-            ln = r.get_ueg()
-            r.align()
-            subs.append(arr[r.byte_pos:r.byte_pos + ln])
-            r.skip_bytes(ln)
-            r.align()
-        modes, mvx, mvy, submask = bits.decode_motion(
-            subs[0], subs[1], subs[2], subs[3], nbh, nbv)
-        stable = stable | ((modes == MODE_INTRA).astype(np.uint8) << 1)
-
-    r.align()
-    quant = r.get_bits(MAX_QP_BITS)
-
-    layout, coef_dims, tables = coef_geometry(meta.subsamp, meta.width,
-                                              meta.height, nbh, nbv)
+    hdr, stable, modes, mvx, mvy, submask, planes = bits.parse_picture(
+        data, meta.width, meta.height, MAX_QP_BITS,
+        MIN_BLOCK_SIZE, MAX_BLOCK_SIZE,
+        _plane_caps(meta.subsamp, meta.width, meta.height))
+    nbh, nbv = hdr["nbh"], hdr["nbv"]
+    _, coef_dims, tables = coef_geometry(meta.subsamp, meta.width,
+                                         meta.height, nbh, nbv)
     qgrids, dcs, overflow = [], [], False
     for c in range(3):
         cw, ch = coef_dims[c]
-        r.align()
-        plen = r.get_bits(32)
-        r.align()
+        dc, runs, vals, plen = planes[c]
         if plen <= 0 or plen > cw * ch * 4 * 2:
             raise ValueError("bad plane length")
-        dc, runs, vals = parse_plane_bits(arr[r.byte_pos:], plen, tables[c])
-        r.skip_bytes(plen)
         grid = np.zeros(cw * ch, np.int16)
         if runs.size:
             pos = np.cumsum(runs.astype(np.int64) + 1) - 1
@@ -168,11 +139,11 @@ def _parse_picture(data: bytes, meta: Metadata):
             grid[tables[c].perm[pos[keep]]] = v.astype(np.int16)
         qgrids.append(grid.reshape(ch, cw))
         dcs.append(dc)
-    return dict(fno=fno, blk_w=blk_w, blk_h=blk_h, has_ref=has_ref,
-                is_ref=pt_is_ref(pkt_type), quant=quant, stable=stable,
-                modes=modes, mvx=mvx, mvy=mvy, submask=submask,
-                qgrids=qgrids, dcs=np.asarray(dcs, np.int32),
-                overflow=overflow)
+    return dict(fno=hdr["fno"], blk_w=hdr["blk_w"], blk_h=hdr["blk_h"],
+                has_ref=hdr["has_ref"], is_ref=pt_is_ref(pkt_type),
+                quant=hdr["quant"], stable=stable, modes=modes, mvx=mvx,
+                mvy=mvy, submask=submask, qgrids=qgrids,
+                dcs=np.asarray(dcs, np.int32), overflow=overflow)
 
 
 def decode_stream_gops(stream: bytes, mesh: Mesh | None = None):
