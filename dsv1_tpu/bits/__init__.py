@@ -216,7 +216,8 @@ def parse_picture(pkt: bytes, w: int, h: int, qp_bits: int,
 def pack_chunk(fourcc: bytes, version: int, blk_w: int, blk_h: int,
                nbh: int, nbv: int, quant: int, qp_bits: int,
                meta_pkt: bytes, C: int, G: int, g0: int, ngops: int,
-               nframes: int, pt_ref: int, iq8, ipos, ivals, idc, istable,
+               nframes: int, fnum_base: int, pt_ref: int,
+               iq8, ipos, ivals, idc, istable,
                pruns, pvals, pcnt, pdc, phasref, pmode, pmvx, pmvy,
                psub, pstable, prev_link: int):
     """Assemble a whole chunk (C gops x G frames) of GOP-parallel encoder
@@ -272,7 +273,7 @@ def pack_chunk(fourcc: bytes, version: int, blk_w: int, blk_h: int,
             _u8p(meta), ctypes.c_int32(meta.size),
             ctypes.c_int32(C), ctypes.c_int32(G), ctypes.c_int64(g0),
             ctypes.c_int64(ngops), ctypes.c_int64(nframes),
-            ctypes.c_int32(pt_ref),
+            ctypes.c_int64(fnum_base), ctypes.c_int32(pt_ref),
             iq8_p, ipos_p, ivals_p,
             iN.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             iK.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -661,6 +661,7 @@ int32_t dsv1n_pack_chunk(
     int32_t quant, int32_t qp_bits,
     const uint8_t* meta_pkt, int32_t meta_len,
     int32_t C, int32_t G, int64_t g0, int64_t ngops, int64_t nframes,
+    int64_t fnum_base, // global frame-number offset (multi-host shards)
     int32_t pt_ref, // is_ref bit of the picture packet type (0 for gop0)
     // I-frame fields (one per gop row)
     const int8_t* const* iq8,    // [3] -> [C, iN[c]] dense quantized planes
@@ -721,7 +722,8 @@ int32_t dsv1n_pack_chunk(
                     ep[c] = ipos[c] + (int64_t)g * iK[c];
                     ev[c] = ivals[c] + (int64_t)g * iK[c];
                 }
-                put_picture_head_w(w, fourcc, version, pt, (uint32_t)fnum,
+                put_picture_head_w(w, fourcc, version, pt,
+                                   (uint32_t)(fnum_base + fnum),
                                    blk_w, blk_h, nbh, nbv,
                                    istable + (int64_t)g * nblk, 0,
                                    nullptr, nullptr, nullptr, nullptr,
@@ -732,7 +734,8 @@ int32_t dsv1n_pack_chunk(
                                        idc[g * 3 + c]);
             } else {
                 int64_t fi = (int64_t)g * GP + (i - 1);
-                put_picture_head_w(w, fourcc, version, pt, (uint32_t)fnum,
+                put_picture_head_w(w, fourcc, version, pt,
+                                   (uint32_t)(fnum_base + fnum),
                                    blk_w, blk_h, nbh, nbv,
                                    pstable + fi * nblk, has_ref,
                                    pmode + fi * nblk, pmvx + fi * nblk,

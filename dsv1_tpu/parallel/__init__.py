@@ -10,6 +10,10 @@ recon-chain on a single device as a `lax.scan`.
 from .decode import build_gop_decoder, decode_stream_gops
 from .gop import (build_gop_encoder, build_intra_encoder, gop_mesh,
                   encode_stream_gops)
+from .multihost import (EncodedShard, encode_shard, encode_stream_multihost,
+                        mux_shards, shard_ranges)
 
-__all__ = ["build_gop_decoder", "build_gop_encoder", "build_intra_encoder",
-           "decode_stream_gops", "encode_stream_gops", "gop_mesh"]
+__all__ = ["EncodedShard", "build_gop_decoder", "build_gop_encoder",
+           "build_intra_encoder", "decode_stream_gops", "encode_shard",
+           "encode_stream_gops", "encode_stream_multihost", "gop_mesh",
+           "mux_shards", "shard_ranges"]

@@ -429,17 +429,6 @@ def build_intra_encoder(subsamp: int, w: int, h: int, quality: int,
     return run
 
 
-@lru_cache(maxsize=8)
-def _boundary_al_fn(subsamp: int, w: int, h: int, levels: int):
-    prep = make_prep(subsamp, w, h, levels)
-
-    def al_of(y, u, v):
-        _, al = prep((y, u, v))
-        return al
-
-    return jax.jit(jax.vmap(al_of))
-
-
 def gop_mesh(devices=None, axis: str = "gop") -> Mesh:
     """1-D device mesh over the GOP axis (SURVEY.md §5: GOP axis -> data
     parallelism; per-GOP recon chains stay device-local)."""
@@ -471,11 +460,18 @@ _MESHES: dict = {}
 def encode_stream_gops(frames, meta: Metadata,
                        cfg: EncoderConfig | None = None,
                        mesh: Mesh | None = None,
-                       gops_per_device: int = 0) -> bytes:
+                       gops_per_device: int = 0, *,
+                       _fnum_base: int = 0, _emit_eos: bool = True,
+                       _return_state: bool = False):
     """Encode frames into a full .dsv stream, GOPs in parallel.
 
     frames: sequence of (y, u, v) uint8 planar arrays. CRF only (ABR's
     byte-count feedback is inherently sequential; use models.encoder).
+
+    The underscore kwargs serve the multi-host shard path
+    (parallel/multihost.py): a global frame-number offset, EOS
+    suppression for partial streams, and (stream, last_picture_len)
+    return for O(1) link fixup at mux time.
     """
     cfg = cfg or EncoderConfig()
     if cfg.rc_mode != RATE_CONTROL_CRF:
@@ -554,7 +550,7 @@ def encode_stream_gops(frames, meta: Metadata,
             z16 = np.zeros((chunkf, 0, 1), np.uint16)
             pkt, prev_link = bits.pack_chunk(
                 FOURCC, VERSION_MINOR, blk_w, blk_h, nbh, nbv, quant,
-                MAX_QP_BITS, meta_pkt, chunkf, 1, s, N, N, 0,
+                MAX_QP_BITS, meta_pkt, chunkf, 1, s, N, N, _fnum_base, 0,
                 [o["qcomp_i"][c][0] for c in range(3)],
                 [o["qcomp_i"][c][1] for c in range(3)],
                 [o["qcomp_i"][c][2] for c in range(3)],
@@ -569,8 +565,9 @@ def encode_stream_gops(frames, meta: Metadata,
                 np.zeros((chunkf, 0, 1), np.uint8),
                 np.zeros((chunkf, 0, 1), np.uint8), prev_link)
             out.extend(pkt)
-        out.extend(encode_eos_packet(prev_link))
-        return bytes(out)
+        if _emit_eos:
+            out.extend(encode_eos_packet(prev_link))
+        return (bytes(out), prev_link) if _return_state else bytes(out)
 
     G = cfg.gop
     levels = cfg.pyramid_levels or auto_pyramid_levels(w, h, nbh, nbv)
@@ -604,16 +601,12 @@ def encode_stream_gops(frames, meta: Metadata,
 
     y, u, v = stack(0), stack(1), stack(2)
 
-    # SCD boundary prepass: each GOP g>0 sees the average luma of the
-    # previous GOP's last frame (check_scene_change, dsv_encoder.c:538-554)
+    # Cross-GOP SCD state is irrelevant in CRF: every GOP's first frame
+    # is statically intra (gop start), so the previous GOP's average luma
+    # cannot change any within-GOP decision (check_scene_change,
+    # dsv_encoder.c:538-554, only gates has_ref of P frames). prev_al0
+    # stays in the traced signature for cache stability but is zero.
     prev_al = np.zeros(npad_gops, np.int32)
-    if cfg.do_scd and ngops > 1:
-        al_fn = _boundary_al_fn(subsamp, w, h, levels)
-        bidx = [g * G - 1 for g in range(1, ngops)]
-        by = np.stack([frames[min(i, N - 1)][0] for i in bidx])
-        bu = np.stack([frames[min(i, N - 1)][1] for i in bidx])
-        bv = np.stack([frames[min(i, N - 1)][2] for i in bidx])
-        prev_al[1:ngops] = np.asarray(al_fn(by, bu, bv))
 
     stab0 = np.zeros((chunk, nbh * nbv, 2), np.int32)
     refresh0 = np.zeros(chunk, np.int32)
@@ -679,7 +672,8 @@ def encode_stream_gops(frames, meta: Metadata,
                 pst = np.zeros((chunk, 0, 1), np.uint8)
             pkt, prev_link = bits.pack_chunk(
                 FOURCC, VERSION_MINOR, blk_w, blk_h, nbh, nbv, quant,
-                MAX_QP_BITS, meta_pkt, chunk, G, s, ngops, N, 1,
+                MAX_QP_BITS, meta_pkt, chunk, G, s, ngops, N,
+                _fnum_base, 1,
                 [out_i["qcomp_i"][c][0] for c in range(3)],
                 [out_i["qcomp_i"][c][1] for c in range(3)],
                 [out_i["qcomp_i"][c][2] for c in range(3)],
@@ -729,5 +723,6 @@ def encode_stream_gops(frames, meta: Metadata,
                                       field(gl, i, "stable"), has_ref, True,
                                       mv, quant, qv, field(gl, i, "dc"),
                                       nbh, nbv))
-    out.extend(encode_eos_packet(prev_link))
-    return bytes(out)
+    if _emit_eos:
+        out.extend(encode_eos_packet(prev_link))
+    return (bytes(out), prev_link) if _return_state else bytes(out)

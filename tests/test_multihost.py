@@ -1,0 +1,58 @@
+"""Multi-host GOP sharding (parallel/multihost.py): per-shard encodes of
+contiguous GOP ranges, muxed with O(1) boundary link patches, must be
+byte-identical to the single-host GOP-parallel encode — which is itself
+byte-identical to the sequential encoder (test_chunk_pack)."""
+
+import numpy as np
+import pytest
+
+from dsv1_tpu.constants import (GOP_INTRA, RATE_CONTROL_CRF, SUBSAMP_420,
+                                quality_percent)
+from dsv1_tpu.models.encoder import EncoderConfig
+from dsv1_tpu.models.metadata import Metadata
+from dsv1_tpu.ops.frame import np_yuv_split
+from dsv1_tpu.parallel import (encode_stream_gops, encode_stream_multihost,
+                               shard_ranges)
+from dsv1_tpu.utils.yuv import frame_size
+
+from . import corpus
+
+W, H, SUB = 96, 64, SUBSAMP_420
+
+
+def _frames(n, seed=21):
+    yuv = corpus.make_clip(W, H, SUB, n, seed=seed)
+    fsz = frame_size(W, H, SUB)
+    return [np_yuv_split(np.frombuffer(yuv[i * fsz:(i + 1) * fsz], np.uint8),
+                         SUB, W, H) for i in range(n)]
+
+
+def test_shard_ranges_cover_and_align():
+    for n, gop, s in [(25, 4, 3), (8, 4, 5), (10, GOP_INTRA, 2), (7, 3, 2)]:
+        rng = shard_ranges(n, gop, s)
+        covered = sum(nf for _, _, nf in rng)
+        assert covered == n
+        G = max(gop, 1) if gop != GOP_INTRA else 1
+        for g0, f0, _nf in rng:
+            assert f0 == g0 * G
+
+
+@pytest.mark.parametrize("n,gop,shards", [(14, 4, 2), (16, 4, 3)])
+def test_multihost_mux_matches_single_host(n, gop, shards):
+    frames = _frames(n)
+    meta = Metadata(W, H, SUB)
+    cfg = EncoderConfig(quality=quality_percent(85), gop=gop,
+                        rc_mode=RATE_CONTROL_CRF, stable_refresh=gop - 1)
+    single = encode_stream_gops(frames, meta, cfg)
+    multi = encode_stream_multihost(frames, meta, cfg, n_shards=shards)
+    assert multi == single
+
+
+def test_multihost_gop0():
+    frames = _frames(6, seed=9)
+    meta = Metadata(W, H, SUB)
+    cfg = EncoderConfig(quality=quality_percent(85), gop=GOP_INTRA,
+                        rc_mode=RATE_CONTROL_CRF)
+    single = encode_stream_gops(frames, meta, cfg)
+    multi = encode_stream_multihost(frames, meta, cfg, n_shards=2)
+    assert multi == single
