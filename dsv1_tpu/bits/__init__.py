@@ -160,6 +160,33 @@ def pack_picture(fourcc: bytes, version: int, pkt_type: int, fnum: int,
         cap *= 2
 
 
+def runs_from_dense8(q8: np.ndarray, epos: np.ndarray, evals: np.ndarray):
+    """(runs, vals) symbol stream from a dense int8 plane + sorted
+    exception list (dsv1n_runs_from_dense8). Mirror of
+    hzcc.runs_from_qvals for the device compaction layout."""
+    q8 = np.ascontiguousarray(q8, np.int8)
+    epos = np.ascontiguousarray(epos, np.int32)
+    evals = np.ascontiguousarray(evals, np.int32)
+    L = lib()
+    if not hasattr(L, "_rfd_set"):
+        L.dsv1n_runs_from_dense8.restype = ctypes.c_int32
+        L._rfd_set = True
+    cap = q8.size
+    runs = np.empty(max(cap, 1), np.uint32)
+    vals = np.empty(max(cap, 1), np.int32)
+    n = L.dsv1n_runs_from_dense8(
+        q8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        ctypes.c_int32(q8.size),
+        epos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        evals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(epos.size),
+        runs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(cap))
+    assert n >= 0
+    return runs[:n], vals[:n]
+
+
 def parse_picture(pkt: bytes, w: int, h: int, qp_bits: int,
                   min_blk: int, max_blk: int, max_syms):
     """Parse one picture packet natively (dsv1n_parse_picture).

@@ -124,6 +124,67 @@ def _jit_hme(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
     return f
 
 
+@lru_cache(maxsize=16)
+def _jit_prep_hme(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
+                  nbh: int, nbv: int, levels: int):
+    """Fused per-frame prep + HME: one dispatch and one small D2H blob
+    instead of two dispatches plus ~10 scalar/array fetches (each fetch
+    pays ~25ms link latency on the tunneled device). The padded image
+    pyramid stays on device (it becomes the next frame's HME reference
+    and the encode-core input)."""
+    from ..ops.opt import blob_concat
+    layouts = _pyr_layouts(subsamp, w, h, levels)
+    prep = make_prep(subsamp, w, h, levels)
+    box = {}
+
+    @jax.jit
+    def f(planes, ref_imgs):
+        imgs, al = prep(planes)
+        mv = hme_run(list(imgs), list(ref_imgs), list(layouts),
+                     blk_w, blk_h, nbh, nbv, subsamp, levels)
+        small = dict(mv)
+        small["al"] = jnp.asarray(al, jnp.int32)
+        blob = blob_concat(
+            jax.tree_util.tree_map(lambda a: jnp.asarray(a)[None], small),
+            1, box)
+        return tuple(imgs), blob
+
+    return f, box
+
+
+@lru_cache(maxsize=16)
+def _jit_core_compact(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
+                      nbh: int, nbv: int, has_ref: bool, want_recon: bool):
+    """Encode core with device-side output compaction + blob coalescing:
+    P planes as capped sparse (run, value) lists, intra planes as dense
+    int8 + LL exception lists (ops/hzcc.py) — one D2H fetch per frame."""
+    from ..ops.hzcc import compact_dense_i, compact_sparse_p
+    from ..ops.opt import blob_concat
+    core = make_encode_core(subsamp, w, h, blk_w, blk_h, nbh, nbv,
+                            has_ref, want_recon)
+    ll_sizes = [int(t.seg_bounds[1])
+                for t in coef_geometry(subsamp, w, h, nbh, nbv)[2]]
+    box = {}
+
+    @jax.jit
+    def f(input_img, ref_img, quant, stable, m0, m1, m2, m3):
+        qvals, dcs, recon = core(input_img, ref_img, quant, stable,
+                                 m0, m1, m2, m3)
+        if has_ref:
+            comp = tuple(compact_sparse_p(qv) for qv in qvals)
+        else:
+            comp = tuple(compact_dense_i(qv, ll_n)
+                         for qv, ll_n in zip(qvals, ll_sizes))
+        out = {"comp": comp,
+               "dc": jnp.stack([jnp.asarray(d, jnp.int32) for d in dcs])}
+        blob = blob_concat(
+            jax.tree_util.tree_map(lambda a: jnp.asarray(a)[None], out),
+            1, box)
+        return blob, recon
+
+    return f, box
+
+
 def coef_geometry(subsamp: int, w: int, h: int, nbh: int, nbv: int):
     """Per-plane coefficient dims + HZCC traversal tables."""
     layout = fr.make_layout(subsamp, w, h, True)
@@ -411,14 +472,31 @@ class Encoder:
             self._levels = auto_pyramid_levels(w, h, self.nbh, self.nbv)
         levels = self._levels if c.gop != GOP_INTRA else 0
 
-        prep = _jit_prep(meta.subsamp, w, h, levels)
-        jplanes = [jnp.asarray(p) for p in planes]
-        imgs, al = prep(jplanes)
+        from ..ops.opt import blob_split
 
         gop_start = self.force_metadata or (self.prev_gop + c.gop) <= fnum
         if gop_start:
             self.prev_gop = fnum
             self.force_metadata = False
+
+        jplanes = [jnp.asarray(p) for p in planes]
+        mv = None
+        maybe_p = (c.gop != GOP_INTRA and not gop_start
+                   and self._ref_pyr is not None)
+        if maybe_p:
+            # fused prep + HME: one dispatch, one blob fetch. HME runs
+            # before the SCD verdict is known — wasted only on actual
+            # scene cuts, byte-identical either way (mv is discarded).
+            run, box = _jit_prep_hme(meta.subsamp, w, h, self.blk_w,
+                                     self.blk_h, self.nbh, self.nbv, levels)
+            imgs, blob = run(tuple(jplanes), tuple(self._ref_pyr))
+            o = blob_split(jax.device_get(blob), box)
+            al = int(o.pop("al")[0])
+            mv = {k: v[0] for k, v in o.items()}
+        else:
+            prep = _jit_prep(meta.subsamp, w, h, levels)
+            imgs, al_d = prep(jplanes)
+            al = int(al_d)
 
         if c.gop == GOP_INTRA:
             is_ref = False
@@ -429,29 +507,26 @@ class Encoder:
             has_ref = not gop_start
             forced_intra = False
             if c.do_scd:
-                alv = int(al)
-                if abs(self.prev_avg_luma - alv) > c.scene_change_delta:
+                if abs(self.prev_avg_luma - al) > c.scene_change_delta:
                     has_ref = False
                     forced_intra = True
-                self.prev_avg_luma = alv
+                self.prev_avg_luma = al
 
-        mv = None
-        if has_ref:
-            run = _jit_hme(meta.subsamp, w, h, self.blk_w, self.blk_h,
-                           self.nbh, self.nbv, levels)
-            out = run(tuple(imgs), tuple(self._ref_pyr))
-            mv = {k: np.asarray(v) for k, v in out.items()}
-            if int(mv["intra_pct"]) > c.intra_pct_thresh:
-                has_ref = False
-                forced_intra = True
+        if has_ref and int(mv["intra_pct"]) > c.intra_pct_thresh:
+            has_ref = False
+            forced_intra = True
+        if not has_ref:
+            mv = None
 
         quant = self._quality2quant(has_ref, forced_intra)
         stable = self._stable_blocks_update(has_ref, mv)
 
-        # device: prediction/residual + transforms + quantization + recon
+        # device: prediction/residual + transforms + quantization + recon,
+        # outputs compacted and blob-coalesced (one D2H fetch)
         want_recon = is_ref and c.gop != GOP_INTRA
-        core = _jit_encode_core(meta.subsamp, w, h, self.blk_w, self.blk_h,
-                                self.nbh, self.nbv, has_ref, want_recon)
+        core, cbox = _jit_core_compact(meta.subsamp, w, h, self.blk_w,
+                                       self.blk_h, self.nbh, self.nbv,
+                                       has_ref, want_recon)
         if has_ref:
             margs = (jnp.asarray(mv["mode"].reshape(-1)),
                      jnp.asarray(mv["mvx"].reshape(-1)),
@@ -461,8 +536,12 @@ class Encoder:
             z = jnp.zeros(self.nbh * self.nbv, jnp.int32)
             margs = (z, z, z, z)
         ref_arg = self._ref_recon if has_ref else jnp.int32(0)
-        qvals, dcs, recon_img = core(imgs[0], ref_arg, jnp.int32(quant),
-                                     jnp.asarray(stable), *margs)
+        blob, recon_img = core(imgs[0], ref_arg, jnp.int32(quant),
+                               jnp.asarray(stable), *margs)
+        o = blob_split(jax.device_get(blob), cbox)
+        dcs = o["dc"][0]
+        qvals = self._uncompact(o["comp"], has_ref, imgs, ref_arg, quant,
+                                stable, margs)
 
         # host: picture packet assembly (encode_picture, dsv_encoder.c:463-536)
         picture = pack_picture(fnum, self.blk_w, self.blk_h, stable, has_ref,
@@ -484,6 +563,36 @@ class Encoder:
         set_link_offsets(picture, self.prev_link, len(picture))
         self.prev_link = len(picture)
         return packets
+
+    def _uncompact(self, comp, has_ref, imgs, ref_arg, quant, stable,
+                   margs):
+        """Compacted device outputs -> per-plane (runs, vals) symbol
+        tuples; rare cap overflows re-run the dense int32 core."""
+        from .. import bits as native_bits
+        if has_ref:
+            ovf = any(bool(comp[ci][3][0]) for ci in range(3))
+        else:
+            ovf = any(int(comp[ci][3][0]) > 0 for ci in range(3))
+        if ovf:
+            meta = self.meta
+            core = _jit_encode_core(meta.subsamp, meta.width, meta.height,
+                                    self.blk_w, self.blk_h, self.nbh,
+                                    self.nbv, has_ref, False)
+            qv, _dcs, _ = core(imgs[0], ref_arg, jnp.int32(quant),
+                               jnp.asarray(stable), *margs)
+            return [np.asarray(q) for q in qv]
+        out = []
+        for ci in range(3):
+            if has_ref:
+                runs, vals, cnt, _ = comp[ci]
+                n = int(cnt[0])
+                out.append((runs[0][:n].astype(np.uint32),
+                            vals[0][:n].astype(np.int32)))
+            else:
+                q8, pos, vals, _ = comp[ci]
+                out.append(native_bits.runs_from_dense8(
+                    q8[0], pos[0], vals[0]))
+        return out
 
     def _rc_stats_update(self, is_p: bool, pic_len: int):
         """ABR statistics (dsv_enc, dsv_encoder.c:816-848)."""

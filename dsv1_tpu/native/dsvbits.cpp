@@ -643,6 +643,30 @@ int32_t dsv1n_parse_picture(
     return 0;
 }
 
+// Extract the (zero-run, value) symbol stream from a dense int8
+// quantized plane with sorted exception overrides (the device-side
+// intra compaction layout). Returns the symbol count (bounded by cap).
+int32_t dsv1n_runs_from_dense8(const int8_t* q, int32_t n,
+                               const int32_t* epos, const int32_t* evals,
+                               int32_t K, uint32_t* runs_out,
+                               int32_t* vals_out, int32_t cap) {
+    int32_t run = 0, m = 0, ei = 0;
+    for (int32_t i = 0; i < n; i++) {
+        int32_t v = q[i];
+        if (ei < K && epos[ei] == i) v = evals[ei++];
+        if (v != 0) {
+            if (m >= cap) return -1;
+            runs_out[m] = (uint32_t)run;
+            vals_out[m] = v;
+            m++;
+            run = 0;
+        } else {
+            run++;
+        }
+    }
+    return m;
+}
+
 // Assemble a whole chunk of GOP-parallel encoder output — C gops x G
 // frames — into a contiguous packet byte stream in one call: metadata
 // packet per GOP start (dsv_encoder.c:624-652), picture packets with

@@ -1,7 +1,58 @@
 """XLA/TPU lowering helpers."""
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
+
+_BLOB_NPDT = {"8": np.int8, "16": np.int16, "32": np.int32}
+_BLOB_W = {"8": 1, "16": 2, "32": 4}
+
+
+def blob_concat(tree, C, layout_box):
+    """Device side: coalesce an output pytree of (C, ...)-batched arrays
+    into one (C, nbytes) int8 blob (narrow dtypes bitcast to int8) so the
+    host pays a single D2H fetch per dispatch — the device link charges
+    ~25ms per fetch (measured). The static layout is recorded in
+    layout_box at trace time."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    specs, parts = [], []
+    for a in leaves:
+        a2 = a.reshape(C, -1)
+        if a.dtype in (jnp.int8, jnp.uint8, jnp.bool_):
+            kind = "8"
+            b = a2.astype(jnp.int8)
+        elif a.dtype in (jnp.int16, jnp.uint16):
+            kind = "16"
+            b = lax.bitcast_convert_type(
+                a2.astype(jnp.int16), jnp.int8).reshape(C, -1)
+        else:
+            kind = "32"
+            b = lax.bitcast_convert_type(
+                a2.astype(jnp.int32), jnp.int8).reshape(C, -1)
+        specs.append((kind, a.dtype, a.shape, a2.shape[1]))
+        parts.append(b)
+    layout_box["specs"] = specs
+    layout_box["treedef"] = treedef
+    return jnp.concatenate(parts, axis=1)
+
+
+def blob_split(blob, layout_box):
+    """Host side: byte blob (already device_get) -> output pytree."""
+    buf = np.asarray(blob)
+    off = 0
+    leaves = []
+    for kind, dtype, shape, ncols in layout_box["specs"]:
+        nb_ = ncols * _BLOB_W[kind]
+        seg = np.ascontiguousarray(buf[:, off:off + nb_]) \
+            .view(_BLOB_NPDT[kind])
+        off += nb_
+        # leading dim from the blob, not the recorded shape: under
+        # shard_map the trace sees per-shard batches; unsigned dtypes
+        # round-trip bit-exactly through the signed astype (mod 2^n)
+        leaves.append(seg.reshape((seg.shape[0],) + shape[1:])
+                      .astype(dtype))
+    return jax.tree_util.tree_unflatten(layout_box["treedef"], leaves)
 
 
 def runtime(*xs):

@@ -21,8 +21,9 @@ Byte-exactness: with the CLI default stable_refresh == gop-1
 (dsv_main.c:487-489) the reference's stability accumulators reset exactly
 at every GOP start, and the scan's per-GOP zero initialisation reproduces
 the sequential encoder byte-for-byte (tested). Cross-GOP SCD state is
-reproduced by a cheap boundary prepass that feeds each GOP the average
-luma of its predecessor's last frame. The one intentional divergence:
+irrelevant here: a GOP's first frame is statically intra, so the
+predecessor's average luma cannot change any decision. The one
+intentional divergence:
 a mid-GOP forced-intra frame suppresses the reference's refresh-counter
 increment across the *next* GOP boundary; in that case the parallel
 stream differs in stability flags only — still spec-valid and decoded
@@ -49,6 +50,10 @@ from ..models.encoder import (EncoderConfig, _pyr_layouts,
 from ..models.metadata import Metadata
 from ..ops import frame as fr
 from ..ops.hme import hme as hme_run, hme_batch
+from ..ops.hzcc import compact_dense_i as _compact_dense_i
+from ..ops.hzcc import compact_sparse_p as _compact_sparse_p
+from ..ops.opt import blob_concat as _blob_concat
+from ..ops.opt import blob_split as _blob_split
 from ..ops.pallas_hme import use_pallas
 
 
@@ -61,72 +66,6 @@ def block_geometry(w: int, h: int):
     blk_w = max(MIN_BLOCK_SIZE, min(size4dim(w) & ~7, MAX_BLOCK_SIZE))
     blk_h = max(MIN_BLOCK_SIZE, min(size4dim(h) & ~7, MAX_BLOCK_SIZE))
     return blk_w, blk_h, div_round(w, blk_w), div_round(h, blk_h)
-
-
-_BLOB_NPDT = {"8": np.int8, "16": np.int16, "32": np.int32}
-_BLOB_W = {"8": 1, "16": 2, "32": 4}
-
-
-def _blob_concat(tree, C, layout_box):
-    """Device side: coalesce an output pytree of (C, ...)-batched arrays
-    into one (C, nbytes) int8 blob (narrow dtypes bitcast to int8) so
-    the host pays a single D2H fetch per chunk. The static layout is
-    recorded in layout_box at trace time."""
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    specs, parts = [], []
-    for a in leaves:
-        a2 = a.reshape(C, -1)
-        if a.dtype in (jnp.int8, jnp.uint8, jnp.bool_):
-            kind = "8"
-            b = a2.astype(jnp.int8)
-        elif a.dtype in (jnp.int16, jnp.uint16):
-            kind = "16"
-            b = jax.lax.bitcast_convert_type(
-                a2.astype(jnp.int16), jnp.int8).reshape(C, -1)
-        else:
-            kind = "32"
-            b = jax.lax.bitcast_convert_type(
-                a2.astype(jnp.int32), jnp.int8).reshape(C, -1)
-        specs.append((kind, a.dtype, a.shape, a2.shape[1]))
-        parts.append(b)
-    layout_box["specs"] = specs
-    layout_box["treedef"] = treedef
-    return jnp.concatenate(parts, axis=1)
-
-
-def _blob_split(blob, layout_box):
-    """Host side: byte blob (already device_get) -> output pytree."""
-    buf = np.asarray(blob)
-    off = 0
-    leaves = []
-    for kind, dtype, shape, ncols in layout_box["specs"]:
-        nb_ = ncols * _BLOB_W[kind]
-        seg = np.ascontiguousarray(buf[:, off:off + nb_]) \
-            .view(_BLOB_NPDT[kind])
-        off += nb_
-        # leading dim from the blob, not the recorded shape: under
-        # shard_map the trace sees per-shard batches; unsigned dtypes
-        # round-trip bit-exactly through the signed astype (mod 2^n)
-        leaves.append(seg.reshape((seg.shape[0],) + shape[1:])
-                      .astype(dtype))
-    return jax.tree_util.tree_unflatten(layout_box["treedef"], leaves)
-
-
-def _compact_dense_i(qv, ll_n):
-    """Dense int8 + LL exception list (intra planes are dense, with
-    values beyond int8 essentially only in the small LL region)."""
-    q8 = jnp.clip(qv, -128, 127).astype(jnp.int8)
-    ll = qv[:ll_n]
-    big_ll = jnp.abs(ll) > 127
-    K = min(256, ll_n)
-    # fill points past the whole plane so the host filter
-    # (pos < plane size) drops padding entries
-    pos = jnp.nonzero(big_ll, size=K, fill_value=qv.shape[0])[0] \
-        .astype(jnp.int32)
-    vs = jnp.where(pos < ll_n, ll[jnp.clip(pos, 0, ll_n - 1)], 0)
-    nbig = (jnp.sum((jnp.abs(qv[ll_n:]) > 127).astype(jnp.int32))
-            + jnp.maximum(jnp.sum(big_ll.astype(jnp.int32)) - K, 0))
-    return q8, pos, vs, nbig
 
 
 def _wrap16(x):
@@ -217,31 +156,6 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
                 "lo_tex": z, "lo_var": z, "high_detail": z,
                 "nintra": jnp.int32(0), "intra_pct": jnp.int32(0)}
 
-    def compact_p(qv):
-        """Capped (zero-run, value) nonzero list (P planes are sparse).
-
-        top_k over (n - index) keys instead of jnp.nonzero: identical
-        result, but top_k avoids the scalarized N-element scatter inside
-        nonzero's lowering (2.1x faster, measured). Runs and values ship
-        as 16-bit (the D2H link runs at ~25-45 MB/s with ~25ms/fetch;
-        measured counts at qp85 are ~100x below the old int32 caps);
-        range overflow falls back to the dense path like cap overflow."""
-        n = qv.shape[0]
-        K = min(n, max(256, n // 128))
-        nz = qv != 0
-        keys = jnp.where(nz, n - jnp.arange(n, dtype=jnp.int32), 0)
-        kk = jax.lax.top_k(keys, K)[0]
-        pos = jnp.where(kk > 0, n - kk, n)
-        vs = jnp.where(pos < n, qv[jnp.clip(pos, 0, n - 1)], 0)
-        cnt = jnp.sum(nz.astype(jnp.int32))
-        prev = jnp.concatenate([jnp.full((1,), -1, pos.dtype), pos[:-1]])
-        runs = pos - prev - 1
-        valid = jnp.arange(K) < cnt
-        ovf = ((cnt > K)
-               | (jnp.max(jnp.where(valid, runs, 0)) > 0xFFFE)
-               | (jnp.max(jnp.where(valid, jnp.abs(vs), 0)) > 0x7FFF))
-        return (runs.astype(jnp.uint16), vs.astype(jnp.int16), cnt, ovf)
-
     def encode_frame(is_p, quant_j, ref_recon, stability, refresh_ctr,
                      img0, mv, compactor):
         """Shared I/P frame tail: stability accumulators + encode core."""
@@ -271,8 +185,8 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
 
     compact_i_tagged = ("qcomp_i", lambda qvals: tuple(
         _compact_dense_i(qv, ll_n) for qv, ll_n in zip(qvals, ll_sizes)))
-    compact_p_tagged = ("qcomp_p",
-                        lambda qvals: tuple(compact_p(qv) for qv in qvals))
+    compact_p_tagged = ("qcomp_p", lambda qvals: tuple(
+        _compact_sparse_p(qv) for qv in qvals))
 
     def run_batch(y, u, v, prev_al0, stab0, refresh0):
         """Batched over a leading GOP axis C: y/u/v are (C, G, ...).
