@@ -360,11 +360,10 @@ def _jit_batched(subsamp, w, h, G, quality, do_scd, scd_delta, intra_thresh,
         return jax.jit(run.batch), run.unpack
     # per-device closed-GOP batches: shard_map so each device runs its own
     # pallas grid / scan with zero collectives on the frame path
-    from jax.experimental.shard_map import shard_map
     mesh = _MESHES[mesh_key]
     p = PartitionSpec("gop")
-    smapped = shard_map(run.batch, mesh=mesh, in_specs=(p,) * 6,
-                        out_specs=p, check_rep=False)
+    smapped = jax.shard_map(run.batch, mesh=mesh, in_specs=(p,) * 6,
+                            out_specs=p, check_vma=False)
     return jax.jit(smapped), run.unpack
 
 

@@ -20,10 +20,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 # Persistent compilation cache: the big GOP-scan graphs take tens of
 # seconds to compile on CPU and the CLI tests pay it again in every
 # subprocess (the env propagates there via os.environ.copy()).
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    str(Path(__file__).resolve().parent.parent / "build" / "jax_cpu_cache"),
-)
+# NOTE the env var alone is NOT enough here: jax config reads the
+# environment when jax is first imported, and the axon sitecustomize
+# imports jax at interpreter startup — before pytest loads this file.
+# The config.update below is what actually takes effect; the env var is
+# still set so CLI-test subprocesses inherit the intent.
+_CACHE_DIR = str(Path(__file__).resolve().parent.parent / "build"
+                 / "jax_cpu_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
 
 # The axon sitecustomize hook calls jax.config.update("jax_platforms",
 # "axon,cpu") at interpreter startup, which overrides the env var; undo
@@ -32,3 +36,22 @@ os.environ.setdefault(
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+# Persist every compile (default thresholds skip sub-second compiles,
+# so most graphs recompiled on every run — slow on this 1-core host).
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+# XLA:CPU's thunk runtime mmaps a 3-mapping JIT region per *kernel*; a
+# full-suite process accumulates ~60k mappings and then segfaults inside
+# the next compile when mmap hits vm.max_map_count (65530, measured).
+# Dropping executables at module boundaries keeps the count bounded;
+# re-JIT afterwards is a fast persistent-cache deserialization.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_mappings():
+    yield
+    jax.clear_caches()
