@@ -16,7 +16,19 @@ from pathlib import Path
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persist TPU compiles across bench runs. The env var alone does not
+    work here: jax reads it when first imported, which the axon
+    sitecustomize does at interpreter startup."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parent / "build"
+                          / "jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def main():
+    _enable_compile_cache()
     from tests import corpus, oracle
     from dsv1_tpu.constants import (RATE_CONTROL_CRF, SUBSAMP_420,
                                     quality_percent)

@@ -72,12 +72,17 @@ struct BitWriter {
     BitWriter(uint8_t* b, uint32_t c) : buf(b), cap(c) {}
 
     inline void put_bits(uint64_t v, int n) {
-        for (int i = n - 1; i >= 0; i--) {
-            uint32_t byte = pos >> 3;
-            if (byte >= cap) { pos = cap * 8 + 1; return; } // sticky overflow
-            if ((v >> i) & 1) buf[byte] |= (uint8_t)(1u << (7 - (pos & 7)));
-            pos++;
-        }
+        if (n <= 0) return;
+        uint32_t end = pos + (uint32_t)n;
+        if (((end + 7) >> 3) > cap) { pos = cap * 8 + 1; return; } // sticky
+        uint32_t b = pos >> 3, o = pos & 7;
+        if (n < 64) v &= (1ull << n) - 1;
+        // o + n <= 7 + 64 bits land in <= 9 bytes; OR them in MSB-first
+        unsigned __int128 x = (unsigned __int128)v << (128 - o - n);
+        int m = (int)((o + (uint32_t)n + 7) >> 3);
+        for (int i = 0; i < m; i++)
+            buf[b + i] |= (uint8_t)(x >> (120 - 8 * i));
+        pos = end;
     }
 
     inline void align() { pos = (pos + 7) & ~7u; }
@@ -218,13 +223,13 @@ void dsv1n_encode_motion(const uint8_t* modes, const int16_t* mvx,
     BitWriter wm(mode_buf, bufcap);
     uint32_t nz = 0;
     auto put_ueg = [](BitWriter& w, uint32_t v) {
+        // compose the interleaved code (0,b_{k-1})...(0,b_0)1 into one
+        // (code, 2k+1 <= 63 bit) word and write it in a single call
         uint32_t vp = v + 1;
         int k = 0; while ((vp >> (k + 1)) != 0) k++;
-        for (int i = k - 1; i >= 0; i--) {
-            w.put_bits(0, 1);
-            w.put_bits((vp >> i) & 1, 1);
-        }
-        w.put_bits(1, 1);
+        uint64_t c = 0;
+        for (int i = k - 1; i >= 0; i--) c = (c << 2) | ((vp >> i) & 1);
+        w.put_bits((c << 1) | 1, 2 * k + 1);
     };
     auto put_seg = [&put_ueg](BitWriter& w, int32_t v) {
         uint32_t a = (uint32_t)(v < 0 ? -v : v);
@@ -268,13 +273,12 @@ void dsv1n_pack_symbols(const uint64_t* codes, const int32_t* lens, int32_t n,
 namespace {
 
 inline void put_ueg_w(BitWriter& w, uint32_t v) {
+    // composed interleaved exp-Golomb, one put_bits call (see put_ueg)
     uint32_t vp = v + 1;
     int k = 0; while ((vp >> (k + 1)) != 0) k++;
-    for (int i = k - 1; i >= 0; i--) {
-        w.put_bits(0, 1);
-        w.put_bits((vp >> i) & 1, 1);
-    }
-    w.put_bits(1, 1);
+    uint64_t c = 0;
+    for (int i = k - 1; i >= 0; i--) c = (c << 2) | ((vp >> i) & 1);
+    w.put_bits((c << 1) | 1, 2 * k + 1);
 }
 
 inline void put_seg_w(BitWriter& w, int32_t v) {
