@@ -12,8 +12,11 @@ from .gop import (build_gop_encoder, build_intra_encoder, gop_mesh,
                   encode_stream_gops)
 from .multihost import (EncodedShard, encode_shard, encode_stream_multihost,
                         mux_shards, shard_ranges)
+from .tile import (encode_plane_tiled, fwd_sbt_tiled, inv_sbt_tiled,
+                   tile_mesh)
 
 __all__ = ["EncodedShard", "build_gop_decoder", "build_gop_encoder",
            "build_intra_encoder", "decode_stream_gops", "encode_shard",
-           "encode_stream_gops", "encode_stream_multihost", "gop_mesh",
-           "mux_shards", "shard_ranges"]
+           "encode_plane_tiled", "encode_stream_gops",
+           "encode_stream_multihost", "fwd_sbt_tiled", "gop_mesh",
+           "inv_sbt_tiled", "mux_shards", "shard_ranges", "tile_mesh"]
