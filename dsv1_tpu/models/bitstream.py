@@ -68,24 +68,38 @@ def encode_eos_packet(prev_link: int) -> bytearray:
     return buf
 
 
-def iter_packets(stream: bytes):
+def iter_packets(stream: bytes, strict: bool = False):
     """Demux a .dsv byte stream -> yields (pkt_type, packet_bytes).
 
     Uses the next-link as the packet size like the reference driver
-    (dsv_main.c:567-612).
+    (dsv_main.c:567-612). Like that driver — which simply stops at a
+    short read and never validates mid-stream bytes itself — a
+    truncated or corrupt tail ends the iteration; the final partial
+    packet is still yielded so the decoder's in-stream guards
+    (hzcc.c:337-339) can salvage what is there. strict=True restores
+    hard errors for tooling that wants them.
     """
     off = 0
     n = len(stream)
     while off + PACKET_HDR_SIZE <= n:
         hdr = stream[off:off + PACKET_HDR_SIZE]
         if hdr[:4] != FOURCC:
-            raise ValueError(f"bad fourcc at offset {off}")
+            if strict:
+                raise ValueError(f"bad fourcc at offset {off}")
+            return
         size = int.from_bytes(hdr[PACKET_NEXT_OFFSET:PACKET_NEXT_OFFSET + 4],
                               "big")
         if size == 0:
             size = PACKET_HDR_SIZE
-        if size < PACKET_HDR_SIZE or off + size > n:
-            raise ValueError(f"bad packet size {size} at offset {off}")
+        if size < PACKET_HDR_SIZE:
+            if strict:
+                raise ValueError(f"bad packet size {size} at offset {off}")
+            return
+        if off + size > n:
+            if strict:
+                raise ValueError(f"bad packet size {size} at offset {off}")
+            yield hdr[PACKET_TYPE_OFFSET], stream[off:]  # truncated tail
+            return
         yield hdr[PACKET_TYPE_OFFSET], stream[off:off + size]
         if hdr[PACKET_TYPE_OFFSET] == PT_EOS:
             return
