@@ -156,13 +156,18 @@ def decode_stream_gops(stream: bytes, mesh: Mesh | None = None):
     meta = None
     frames = []
     for _t, pkt in iter_packets(stream):
-        t = parse_packet_hdr(pkt)
-        if t == PT_META:
-            meta = parse_metadata(pkt)
-        elif t == PT_EOS:
-            break
-        elif pt_is_pic(t) and meta is not None:
-            frames.append(_parse_picture(pkt, meta))
+        try:
+            t = parse_packet_hdr(pkt)
+            if t == PT_META:
+                meta = parse_metadata(pkt)
+            elif t == PT_EOS:
+                break
+            elif pt_is_pic(t) and meta is not None:
+                frames.append(_parse_picture(pkt, meta))
+        except (ValueError, IndexError):
+            # corrupt or truncated packet: skip it, like the reference's
+            # in-stream guards (hzcc.c:337-339, dsv_decoder.c:398-401)
+            continue
     if meta is None or not frames:
         return meta, []
     if (any(f["overflow"] for f in frames)

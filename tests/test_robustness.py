@@ -88,3 +88,23 @@ def test_garbage_input_no_crash():
     rng = np.random.default_rng(7)
     junk = bytes(rng.integers(0, 256, 4096, dtype=np.uint8))
     assert _ndecoded(junk) == 0
+
+
+@pytest.mark.parametrize("frac", [0.5, 0.9])
+def test_parallel_decode_truncated_no_crash(stream, frac):
+    """The GOP-parallel decode path (the CLI default) tolerates short
+    reads too."""
+    from dsv1_tpu.parallel import decode_stream_gops
+    cut = stream[:int(len(stream) * frac)]
+    meta, frames = decode_stream_gops(cut)
+    assert 0 <= len(frames) <= N
+
+
+def test_parallel_decode_corrupt_no_crash(stream):
+    rng = np.random.default_rng(3)
+    from dsv1_tpu.parallel import decode_stream_gops
+    buf = bytearray(stream)
+    for i in rng.integers(64, len(buf), 40):
+        buf[int(i)] ^= int(rng.integers(1, 256))
+    meta, frames = decode_stream_gops(bytes(buf))
+    assert 0 <= len(frames) <= N
