@@ -18,20 +18,47 @@ _SO = _PKG.parent / "build" / "native" / "libdsvbits.so"
 _lib = None
 
 
-def _build():
-    _SO.parent.mkdir(parents=True, exist_ok=True)
+def _compile(src: Path, out: Path):
+    out.parent.mkdir(parents=True, exist_ok=True)
     subprocess.run(
-        ["g++", "-O3", "-fPIC", "-std=c++17", "-shared", str(_SRC), "-o", str(_SO)],
+        ["g++", "-O3", "-fPIC", "-std=c++17", "-shared", str(src),
+         "-o", str(out)],
         check=True,
     )
+
+
+def _so_path() -> Path:
+    """Locate or build the shared library.
+
+    Repo layout: build next to the tree. Zip/single-file distribution
+    (tools/make_zipapp.py, the analog of the reference's dsv1.h
+    amalgamation): extract the source from package data and build it
+    once into a per-user cache keyed by content hash.
+    """
+    if _SRC.is_file():
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            _compile(_SRC, _SO)
+        return _SO
+    import hashlib
+    from importlib import resources
+    src_text = (resources.files("dsv1_tpu") / "native"
+                / "dsvbits.cpp").read_text()
+    tag = hashlib.sha256(src_text.encode()).hexdigest()[:16]
+    cache = Path(os.environ.get("XDG_CACHE_HOME",
+                                Path.home() / ".cache")) / "dsv1_tpu"
+    so = cache / f"libdsvbits-{tag}.so"
+    if not so.exists():
+        src = cache / f"dsvbits-{tag}.cpp"
+        cache.mkdir(parents=True, exist_ok=True)
+        src.write_text(src_text)
+        _compile(src, so)
+    return so
 
 
 def lib():
     global _lib
     if _lib is None:
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-            _build()
-        _lib = ctypes.CDLL(str(_SO))
+        _lib = ctypes.CDLL(str(_so_path()))
         _lib.dsv1n_parse_hzcc.restype = ctypes.c_int32
         _lib.dsv1n_pack_picture.restype = ctypes.c_int32
         _lib.dsv1n_pack_chunk.restype = ctypes.c_int32

@@ -280,12 +280,25 @@ def decode_main(argv) -> int:
     return 0
 
 
+def _apply_cache_env():
+    """Honor JAX_COMPILATION_CACHE_DIR even when jax was imported before
+    this process's environment was visible to it (jax reads env vars once
+    at import; site hooks may import jax at interpreter startup)."""
+    import os
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if path:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0][:1] not in ("e", "d"):
         print(HEADER)
         print("usage: dsv1-tpu <e|d> [options]")
         return 0
+    _apply_cache_env()
     if argv[0][0] == "e":
         return encode_main(argv[1:])
     return decode_main(argv[1:])
