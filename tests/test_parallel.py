@@ -6,8 +6,8 @@ import jax
 import numpy as np
 import pytest
 
-from dsv1_tpu.constants import (RATE_CONTROL_CRF, SUBSAMP_420, SUBSAMP_422,
-                                quality_percent)
+from dsv1_tpu.constants import (RATE_CONTROL_CRF, SUBSAMP_411, SUBSAMP_420,
+                                SUBSAMP_422, quality_percent)
 from dsv1_tpu.models.encoder import Encoder, EncoderConfig
 from dsv1_tpu.models.metadata import Metadata
 from dsv1_tpu.ops.frame import np_yuv_split
@@ -32,6 +32,7 @@ def _sequential(frames, meta, cfg):
 @pytest.mark.parametrize("subsamp,nframes,gop", [
     (SUBSAMP_420, 10, 4),   # tail GOP of 2
     (SUBSAMP_422, 8, 4),
+    (SUBSAMP_411, 8, 4),
 ])
 def test_gop_parallel_matches_sequential(subsamp, nframes, gop):
     w, h = 96, 80
