@@ -48,10 +48,14 @@ def _so_path() -> Path:
                                 Path.home() / ".cache")) / "dsv1_tpu"
     so = cache / f"libdsvbits-{tag}.so"
     if not so.exists():
-        src = cache / f"dsvbits-{tag}.cpp"
         cache.mkdir(parents=True, exist_ok=True)
+        src = cache / f"dsvbits-{tag}.cpp"
         src.write_text(src_text)
-        _compile(src, so)
+        # build to a unique temp path, then atomically rename: concurrent
+        # first runs must never dlopen a partially written library
+        tmp = cache / f".libdsvbits-{tag}.{os.getpid()}.so"
+        _compile(src, tmp)
+        os.replace(tmp, so)
     return so
 
 

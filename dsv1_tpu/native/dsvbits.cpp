@@ -335,6 +335,63 @@ inline void put_plane_w(BitWriter& w, const uint32_t* runs,
         patch_u32(w.buf, startp, (w.pos >> 3) - startp - 4);
 }
 
+// Shared picture-packet prologue: header through the 11-bit quant field.
+inline void put_picture_head_w(BitWriter& w, const uint8_t* fourcc,
+                               uint8_t version, uint8_t pkt_type,
+                               uint32_t fnum, int32_t blk_w, int32_t blk_h,
+                               int32_t nbh, int32_t nbv,
+                               const uint8_t* stable, int has_ref,
+                               const uint8_t* modes, const int16_t* mvx,
+                               const int16_t* mvy, const uint8_t* submask,
+                               int32_t quant, int32_t qp_bits,
+                               uint8_t* scratch, uint32_t scap,
+                               uint8_t* mscratch, uint32_t mcap) {
+    for (int i = 0; i < 4; i++) w.put_bits(fourcc[i], 8);
+    w.put_bits(version, 8);
+    w.put_bits(pkt_type, 8);
+    w.put_bits(0, 32); // prev link (patched by caller)
+    w.put_bits(0, 32); // next link (patched by caller)
+    w.align();
+    w.put_bits(fnum, 32);
+    w.align();
+    put_ueg_w(w, (uint32_t)(blk_w >> 2));
+    put_ueg_w(w, (uint32_t)(blk_h >> 2));
+    w.align();
+    int32_t nblk = nbh * nbv;
+    {
+        memset(scratch, 0, scap);
+        BitWriter sw(scratch, scap);
+        uint32_t nz = 0;
+        for (int32_t i = 0; i < nblk; i++) {
+            if (stable[i] & 1) { put_ueg_w(sw, nz); nz = 0; } else nz++;
+        }
+        put_ueg_w(sw, nz);
+        sw.align();
+        uint32_t slen = sw.pos >> 3;
+        put_ueg_w(w, slen);
+        w.align();
+        put_bytes_w(w, scratch, slen);
+    }
+    if (has_ref) {
+        memset(mscratch, 0, 4 * mcap);
+        uint32_t mlens[4];
+        dsv1n_encode_motion(modes, mvx, mvy, submask, nbh, nbv,
+                            mscratch, &mlens[0], mscratch + mcap, &mlens[1],
+                            mscratch + 2 * mcap, &mlens[2],
+                            mscratch + 3 * mcap, &mlens[3], mcap);
+        w.align();
+        for (int s = 0; s < 4; s++) {
+            w.align();
+            put_ueg_w(w, mlens[s]);
+            w.align();
+            put_bytes_w(w, mscratch + s * mcap, mlens[s]);
+        }
+    }
+    w.align();
+    w.put_bits((uint32_t)quant, qp_bits);
+    return;
+}
+
 } // namespace
 
 // Assemble one complete picture packet (encode_picture wire layout,
@@ -354,59 +411,17 @@ int32_t dsv1n_pack_picture(
     uint8_t* out, uint32_t outcap) {
     memset(out, 0, outcap);
     BitWriter w(out, outcap);
-    for (int i = 0; i < 4; i++) w.put_bits(fourcc[i], 8);
-    w.put_bits(version, 8);
-    w.put_bits(pkt_type, 8);
-    w.put_bits(0, 32); // prev link (patched at emit)
-    w.put_bits(0, 32); // next link
-    w.align();
-    w.put_bits(fnum, 32);
-    w.align();
-    put_ueg_w(w, (uint32_t)(blk_w >> 2));
-    put_ueg_w(w, (uint32_t)(blk_h >> 2));
-    w.align();
-
-    // stability flags: ZBRLE of bit0 (encode_stable_blocks,
-    // dsv_encoder.c:329-408)
     int32_t nblk = nbh * nbv;
     uint32_t scap = (uint32_t)(nblk + 64);
-    uint8_t* scratch = new uint8_t[scap]();
-    {
-        BitWriter sw(scratch, scap);
-        uint32_t nz = 0;
-        for (int32_t i = 0; i < nblk; i++) {
-            if (stable[i] & 1) { put_ueg_w(sw, nz); nz = 0; } else nz++;
-        }
-        put_ueg_w(sw, nz); // trailing run
-        sw.align();
-        uint32_t slen = sw.pos >> 3;
-        put_ueg_w(w, slen);
-        w.align();
-        put_bytes_w(w, scratch, slen);
-    }
-
-    if (has_ref) {
-        // 4 length-prefixed motion substreams (dsv_encoder.c:256-327)
-        uint32_t mcap = (uint32_t)(nblk * 16 + 64);
-        uint8_t* mb = new uint8_t[4 * mcap]();
-        uint32_t mlens[4];
-        dsv1n_encode_motion(modes, mvx, mvy, submask, nbh, nbv,
-                            mb, &mlens[0], mb + mcap, &mlens[1],
-                            mb + 2 * mcap, &mlens[2], mb + 3 * mcap,
-                            &mlens[3], mcap);
-        w.align();
-        for (int s = 0; s < 4; s++) {
-            w.align();
-            put_ueg_w(w, mlens[s]);
-            w.align();
-            put_bytes_w(w, mb + s * mcap, mlens[s]);
-        }
-        delete[] mb;
-    }
+    uint32_t mcap = (uint32_t)(nblk * 16 + 64);
+    uint8_t* scratch = new uint8_t[scap];
+    uint8_t* mscratch = new uint8_t[4 * mcap];
+    put_picture_head_w(w, fourcc, version, pkt_type, fnum, blk_w, blk_h,
+                       nbh, nbv, stable, has_ref, modes, mvx, mvy,
+                       submask, quant, qp_bits, scratch, scap,
+                       mscratch, mcap);
     delete[] scratch;
-
-    w.align();
-    w.put_bits((uint32_t)quant, qp_bits);
+    delete[] mscratch;
     put_plane_w(w, runs0, vals0, n0, dc0);
     put_plane_w(w, runs1, vals1, n1, dc1);
     put_plane_w(w, runs2, vals2, n2, dc2);
@@ -483,64 +498,6 @@ inline void put_plane_sparse16_w(BitWriter& w, const uint16_t* runs,
     w.align();
     if (w.pos <= w.cap * 8)
         patch_u32(w.buf, startp, (w.pos >> 3) - startp - 4);
-}
-
-// Shared picture-packet prologue: header through the 11-bit quant field.
-// Returns false if the output overflowed.
-inline void put_picture_head_w(BitWriter& w, const uint8_t* fourcc,
-                               uint8_t version, uint8_t pkt_type,
-                               uint32_t fnum, int32_t blk_w, int32_t blk_h,
-                               int32_t nbh, int32_t nbv,
-                               const uint8_t* stable, int has_ref,
-                               const uint8_t* modes, const int16_t* mvx,
-                               const int16_t* mvy, const uint8_t* submask,
-                               int32_t quant, int32_t qp_bits,
-                               uint8_t* scratch, uint32_t scap,
-                               uint8_t* mscratch, uint32_t mcap) {
-    for (int i = 0; i < 4; i++) w.put_bits(fourcc[i], 8);
-    w.put_bits(version, 8);
-    w.put_bits(pkt_type, 8);
-    w.put_bits(0, 32); // prev link (patched by caller)
-    w.put_bits(0, 32); // next link (patched by caller)
-    w.align();
-    w.put_bits(fnum, 32);
-    w.align();
-    put_ueg_w(w, (uint32_t)(blk_w >> 2));
-    put_ueg_w(w, (uint32_t)(blk_h >> 2));
-    w.align();
-    int32_t nblk = nbh * nbv;
-    {
-        memset(scratch, 0, scap);
-        BitWriter sw(scratch, scap);
-        uint32_t nz = 0;
-        for (int32_t i = 0; i < nblk; i++) {
-            if (stable[i] & 1) { put_ueg_w(sw, nz); nz = 0; } else nz++;
-        }
-        put_ueg_w(sw, nz);
-        sw.align();
-        uint32_t slen = sw.pos >> 3;
-        put_ueg_w(w, slen);
-        w.align();
-        put_bytes_w(w, scratch, slen);
-    }
-    if (has_ref) {
-        memset(mscratch, 0, 4 * mcap);
-        uint32_t mlens[4];
-        dsv1n_encode_motion(modes, mvx, mvy, submask, nbh, nbv,
-                            mscratch, &mlens[0], mscratch + mcap, &mlens[1],
-                            mscratch + 2 * mcap, &mlens[2],
-                            mscratch + 3 * mcap, &mlens[3], mcap);
-        w.align();
-        for (int s = 0; s < 4; s++) {
-            w.align();
-            put_ueg_w(w, mlens[s]);
-            w.align();
-            put_bytes_w(w, mscratch + s * mcap, mlens[s]);
-        }
-    }
-    w.align();
-    w.put_bits((uint32_t)quant, qp_bits);
-    return;
 }
 
 } // namespace
@@ -737,12 +694,12 @@ int32_t dsv1n_pack_chunk(
             if (outcap - off < 64) { overflow = true; break; }
             BitWriter w(out + off, (uint32_t)((outcap - off) < 0x70000000
                                               ? (outcap - off) : 0x70000000));
-            memset(out + off, 0, 64); // header region; plane writers are
-                                      // reached only via aligned offsets
-                                      // into freshly zeroed capacity
-            // zero the full remaining capacity lazily: BitWriter ORs bits,
-            // so bytes must be zero. Zero in 1MB steps as we go instead of
-            // the whole buffer each call.
+            // PRECONDITION: `out` must arrive zero-initialized (the ctypes
+            // wrapper allocates np.zeros) — BitWriter ORs bits into the
+            // buffer and this function does NOT memset its output, unlike
+            // dsv1n_pack_picture. The 64-byte memset is defense for the
+            // fixed-layout header region only.
+            memset(out + off, 0, 64);
             if (i == 0) {
                 const int8_t* q[3]; const int32_t *ep[3], *ev[3];
                 for (int c = 0; c < 3; c++) {

@@ -189,6 +189,9 @@ class BitReader:
         v = 1
         while not self.get_bit():
             v = (v << 1) | self.get_bit()
+            if v > (1 << 30):  # corrupt/truncated-stream backstop: past
+                break          # the end get_bit() yields zeros forever
+                               # (mirrors native BitReader, dsvbits.cpp)
         return v - 1
 
     def get_seg(self) -> int:

@@ -456,9 +456,9 @@ def encode_stream_gops(frames, meta: Metadata,
                 for i in range(s, min(s + chunkf, N)):
                     out.extend(meta_pkt)
                     qv = [o["qvals"][c][i - s] for c in range(3)]
-                    emit_pic(pack_picture(i, blk_w, blk_h, stable, False,
-                                          False, None, quant, qv,
-                                          o["dc"][i - s], nbh, nbv))
+                    emit_pic(pack_picture(_fnum_base + i, blk_w, blk_h,
+                                          stable, False, False, None, quant,
+                                          qv, o["dc"][i - s], nbh, nbv))
                 continue
             z16 = np.zeros((chunkf, 0, 1), np.uint16)
             pkt, prev_link = bits.pack_chunk(
@@ -632,7 +632,7 @@ def encode_stream_gops(frames, meta: Metadata,
                 mv = {k: field(gl, i, k) for k in
                       ("mode", "mvx", "mvy", "submask")} if has_ref else None
                 qv = [plane_q(gl, i, c) for c in range(3)]
-                emit_pic(pack_picture(fnum, blk_w, blk_h,
+                emit_pic(pack_picture(_fnum_base + fnum, blk_w, blk_h,
                                       field(gl, i, "stable"), has_ref, True,
                                       mv, quant, qv, field(gl, i, "dc"),
                                       nbh, nbv))

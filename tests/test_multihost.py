@@ -56,3 +56,26 @@ def test_multihost_gop0():
     single = encode_stream_gops(frames, meta, cfg)
     multi = encode_stream_multihost(frames, meta, cfg, n_shards=2)
     assert multi == single
+
+
+def test_multihost_dense_fallback_keeps_global_frame_numbers():
+    """A shard that hits the compaction-overflow dense fallback must
+    still emit global frame numbers (regression: the fallback packer
+    dropped _fnum_base, numbering the second shard's frames from 0)."""
+    rng = np.random.default_rng(11)
+    flat = [(np.full((H, W), 60, np.uint8),
+             np.full((H // 2, W // 2), 128, np.uint8),
+             np.full((H // 2, W // 2), 128, np.uint8)) for _ in range(6)]
+    noisy = [(rng.integers(0, 256, (H, W), dtype=np.uint8),
+              rng.integers(0, 256, (H // 2, W // 2), dtype=np.uint8),
+              rng.integers(0, 256, (H // 2, W // 2), dtype=np.uint8))
+             for _ in range(2)]
+    # scene cut inside the SECOND shard's GOP -> that shard's chunk
+    # takes the dense fallback with a nonzero _fnum_base
+    frames = flat + noisy
+    meta = Metadata(W, H, SUB)
+    cfg = EncoderConfig(quality=quality_percent(95), gop=4,
+                        rc_mode=RATE_CONTROL_CRF, stable_refresh=3)
+    single = encode_stream_gops(frames, meta, cfg)
+    multi = encode_stream_multihost(frames, meta, cfg, n_shards=2)
+    assert multi == single

@@ -60,6 +60,14 @@ def test_truncated_inside_header_no_crash(stream):
     assert _ndecoded(stream[:7]) == 0
 
 
+def test_truncated_inside_metadata_terminates(stream):
+    """A cut inside the metadata packet's UEG fields must terminate:
+    past the end the bit reader yields zeros forever, so get_ueg needs
+    the corrupt-stream backstop (regression: infinite loop)."""
+    for cut in (15, 17, 20, 25):
+        assert _ndecoded(stream[:cut]) == 0
+
+
 def test_picture_before_metadata_skipped(stream):
     """Pictures arriving before any metadata packet are skipped
     (dsv_decoder.c:327-331)."""
