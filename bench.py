@@ -27,7 +27,23 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+def _probe_device(timeout_s: int = 180):
+    """Fail fast if the TPU tunnel is wedged: device init can block
+    forever inside PJRT client creation, which would otherwise eat the
+    caller's whole timeout budget."""
+    import subprocess
+    import sys
+    r = subprocess.run(
+        ["timeout", str(timeout_s), sys.executable, "-c",
+         "import jax; jax.devices()"], capture_output=True)
+    if r.returncode != 0:
+        print(f"FATAL: TPU device init did not complete in {timeout_s}s "
+              f"(tunnel down?)", flush=True)
+        raise SystemExit(3)
+
+
 def main():
+    _probe_device()
     _enable_compile_cache()
     from tests import corpus, oracle
     from dsv1_tpu.constants import (RATE_CONTROL_CRF, SUBSAMP_420,
