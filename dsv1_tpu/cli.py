@@ -200,17 +200,22 @@ def encode_main(argv) -> int:
         # GOP-parallel device path (parallel/gop.py): CRF streams are
         # independent of packed byte counts, so whole GOPs encode as
         # device-resident scans, batched and sharded across chips.
-        frames = []
-        with open(opts["inp"], "rb") as f:
-            while maxframe <= 0 or frno < maxframe:
-                planes = read_frame(f, frno, w, h, subsamp)
-                if planes is None:
-                    break
-                frames.append(planes)
-                frno += 1
+        # Frames stream from disk chunk by chunk (constant memory).
+        def frame_iter():
+            nonlocal nencoded, frno
+            with open(opts["inp"], "rb") as f:
+                while maxframe <= 0 or frno < maxframe:
+                    planes = read_frame(f, frno, w, h, subsamp)
+                    if planes is None:
+                        break
+                    if opts["v"]:
+                        print(f"encoding frame {frno}", end="\r", flush=True)
+                    frno += 1
+                    nencoded += 1
+                    yield planes
+
         from .parallel import encode_stream_gops
-        nencoded = len(frames)
-        out = bytearray(encode_stream_gops(frames, meta, cfg))
+        out = bytearray(encode_stream_gops(frame_iter(), meta, cfg))
     else:
         enc = Encoder(meta, cfg)
         enc.start()

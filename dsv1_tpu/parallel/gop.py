@@ -343,6 +343,49 @@ def build_intra_encoder(subsamp: int, w: int, h: int, quality: int,
     return run
 
 
+class _FrameChunk:
+    __slots__ = ("y", "u", "v", "start", "n_real")
+
+    def __init__(self, y, u, v, start, n_real):
+        self.y, self.u, self.v = y, u, v
+        self.start, self.n_real = start, n_real
+
+
+class _ChunkReader:
+    """Pulls (y, u, v) frames from any iterable in fixed-size chunks,
+    padding a short tail by repeating the last real frame (padded
+    outputs are dropped at packing time). Lets the GOP-parallel encoder
+    stream arbitrarily long inputs with two chunks of frames in memory
+    instead of materializing the whole clip."""
+
+    def __init__(self, frames):
+        self._it = iter(frames)
+        self._last = None
+        self._pos = 0
+
+    def next_chunk(self, k: int) -> _FrameChunk | None:
+        ys, us, vs = [], [], []
+        n_real = 0
+        start = self._pos
+        while len(ys) < k:
+            f = next(self._it, None)
+            if f is not None:
+                self._last = f
+                n_real += 1
+            elif n_real == 0:
+                return None  # no frames left at all
+            elif self._last is None:  # pragma: no cover
+                return None
+            else:
+                f = self._last
+            ys.append(np.asarray(f[0]))
+            us.append(np.asarray(f[1]))
+            vs.append(np.asarray(f[2]))
+        self._pos += n_real
+        return _FrameChunk(np.stack(ys), np.stack(us), np.stack(vs),
+                           start, n_real)
+
+
 def gop_mesh(devices=None, axis: str = "gop") -> Mesh:
     """1-D device mesh over the GOP axis (SURVEY.md §5: GOP axis -> data
     parallelism; per-GOP recon chains stay device-local)."""
@@ -390,8 +433,10 @@ def encode_stream_gops(frames, meta: Metadata,
     if cfg.rc_mode != RATE_CONTROL_CRF:
         raise ValueError("GOP-parallel encode supports CRF only")
     w, h, subsamp = meta.width, meta.height, meta.subsamp
-    frames = list(frames)
-    N = len(frames)
+    # known length (sequence) tightens chunk sizing; iterators/generators
+    # stream with constant memory (two chunks in flight)
+    N = len(frames) if hasattr(frames, "__len__") else 0
+    reader = _ChunkReader(frames)
     quant = crf_quant(cfg.quality)
     blk_w, blk_h, nbh, nbv = block_geometry(w, h)
     out = bytearray()
@@ -409,7 +454,8 @@ def encode_stream_gops(frames, meta: Metadata,
     if cfg.gop == GOP_INTRA:
         # gop 0: every frame is a GOP start -> metadata re-emitted before
         # every picture (dsv_encoder.c:624-652), pt has is_ref=0. Chunked
-        # + blob-coalesced + native chunk packing like the GOP path.
+        # + blob-coalesced + native chunk packing like the GOP path;
+        # frames stream through with two chunks in flight.
         from .. import bits
         layout_box = {}
         run1 = build_intra_encoder(subsamp, w, h, cfg.quality)
@@ -419,29 +465,27 @@ def encode_stream_gops(frames, meta: Metadata,
                                 layout_box)
 
         vrun = jax.jit(batch_run)
-        chunkf = max(1, min(64, (8 << 20) // max(w * h, 1), N))
-        npad = div_round(N, chunkf) * chunkf
+        chunkf = max(1, min(64, (8 << 20) // max(w * h, 1), N or (1 << 30)))
         meta_pkt = bytes(encode_metadata_packet(meta))
         nblk = nbh * nbv
 
-        def stackc(ci, s):
-            return np.stack([frames[min(i, N - 1)][ci]
-                             for i in range(s, s + chunkf)])
-
-        def dispatch_i(s):
-            blob = vrun(stackc(0, s), stackc(1, s), stackc(2, s))
+        def dispatch_i(c):
+            blob = vrun(c.y, c.u, c.v)
             blob.copy_to_host_async()
             return blob
 
-        starts = list(range(0, npad, chunkf))
-        inflight = {}
-        if starts:
-            inflight[starts[0]] = dispatch_i(starts[0])
-        for ci, s in enumerate(starts):
-            if ci + 1 < len(starts):
-                inflight[starts[ci + 1]] = dispatch_i(starts[ci + 1])
-            o = _blob_split(jax.device_get(inflight.pop(s)), layout_box)
-            if any(np.any(o["qcomp_i"][c][3] > 0) for c in range(3)):
+        inflight = []  # [(chunk_data, blob)] depth-2 pipeline
+        nxt = reader.next_chunk(chunkf)
+        if nxt is not None:
+            inflight.append((nxt, dispatch_i(nxt)))
+        while inflight:
+            nxt = reader.next_chunk(chunkf)
+            if nxt is not None:
+                inflight.append((nxt, dispatch_i(nxt)))
+            c, blob = inflight.pop(0)
+            s = c.start
+            o = _blob_split(jax.device_get(blob), layout_box)
+            if any(np.any(o["qcomp_i"][ci][3] > 0) for ci in range(3)):
                 # rare huge-LL overflow: redo this chunk densely
                 box_f = {}
                 run_f = build_intra_encoder(subsamp, w, h, cfg.quality, 0)
@@ -451,22 +495,24 @@ def encode_stream_gops(frames, meta: Metadata,
                                         y.shape[0], box_f)
 
                 o = _blob_split(jax.device_get(jax.jit(batch_f)(
-                    stackc(0, s), stackc(1, s), stackc(2, s))), box_f)
+                    c.y, c.u, c.v)), box_f)
                 stable = np.ones(nblk, np.uint8)
-                for i in range(s, min(s + chunkf, N)):
+                for i in range(s, s + c.n_real):
                     out.extend(meta_pkt)
-                    qv = [o["qvals"][c][i - s] for c in range(3)]
+                    qv = [o["qvals"][ci][i - s] for ci in range(3)]
                     emit_pic(pack_picture(_fnum_base + i, blk_w, blk_h,
                                           stable, False, False, None, quant,
                                           qv, o["dc"][i - s], nbh, nbv))
                 continue
             z16 = np.zeros((chunkf, 0, 1), np.uint16)
+            nf_cut = s + c.n_real  # global cutoff: drops padded tail rows
             pkt, prev_link = bits.pack_chunk(
                 FOURCC, VERSION_MINOR, blk_w, blk_h, nbh, nbv, quant,
-                MAX_QP_BITS, meta_pkt, chunkf, 1, s, N, N, _fnum_base, 0,
-                [o["qcomp_i"][c][0] for c in range(3)],
-                [o["qcomp_i"][c][1] for c in range(3)],
-                [o["qcomp_i"][c][2] for c in range(3)],
+                MAX_QP_BITS, meta_pkt, chunkf, 1, s, nf_cut, nf_cut,
+                _fnum_base, 0,
+                [o["qcomp_i"][ci][0] for ci in range(3)],
+                [o["qcomp_i"][ci][1] for ci in range(3)],
+                [o["qcomp_i"][ci][2] for ci in range(3)],
                 o["dc"], np.ones((chunkf, nblk), np.uint8),
                 [z16] * 3, [z16.view(np.int16)] * 3,
                 [np.zeros((chunkf, 0), np.int32)] * 3,
@@ -484,17 +530,19 @@ def encode_stream_gops(frames, meta: Metadata,
 
     G = cfg.gop
     levels = cfg.pyramid_levels or auto_pyramid_levels(w, h, nbh, nbv)
-    ngops = div_round(N, G)
+    ngops_known = div_round(N, G) if N else 0
     # Chunk the GOP batch and keep two chunks in flight so host-side
     # D2H transfer + entropy packing of chunk k overlap device compute
     # of chunk k+1 (JAX dispatch is async; device_get of a finished
-    # chunk runs while the next executable computes).
+    # chunk runs while the next executable computes). Frames stream
+    # through the reader, so memory stays bounded at two chunks.
     # Per-device GOP batch sized by pixel budget (HBM headroom: 8 CIF
     # GOPs/device fit comfortably; 1080p needs one GOP per device).
     # per_dev capped at 4: larger batches crash the axon TPU worker
     # (reproduced at 8 both before and after the pallas kernel)
     per_dev = gops_per_device or max(
-        1, min(4, (4 * 352 * 288 * 12) // max(G * w * h, 1), ngops))
+        1, min(4, (4 * 352 * 288 * 12) // max(G * w * h, 1),
+               ngops_known or (1 << 30)))
     if mesh is not None:
         nd = mesh.devices.size
         chunk = per_dev * nd
@@ -503,35 +551,25 @@ def encode_stream_gops(frames, meta: Metadata,
     else:
         chunk = per_dev
         key = None
-    npad_gops = div_round(ngops, chunk) * chunk
-
-    # stack into [ngops, G, ...], padding the tail by repeating the last
-    # frame (padded outputs are dropped at packing time)
-    def stack(ci):
-        a = np.stack([frames[min(i, N - 1)][ci]
-                      for i in range(npad_gops * G)])
-        return a.reshape(npad_gops, G, *a.shape[1:])
-
-    y, u, v = stack(0), stack(1), stack(2)
 
     # Cross-GOP SCD state is irrelevant in CRF: every GOP's first frame
     # is statically intra (gop start), so the previous GOP's average luma
     # cannot change any within-GOP decision (check_scene_change,
     # dsv_encoder.c:538-554, only gates has_ref of P frames). prev_al0
     # stays in the traced signature for cache stability but is zero.
-    prev_al = np.zeros(npad_gops, np.int32)
-
+    prev_al = np.zeros(chunk, np.int32)
     stab0 = np.zeros((chunk, nbh * nbv, 2), np.int32)
     refresh0 = np.zeros(chunk, np.int32)
     fn, unpack = _jit_batched(subsamp, w, h, G, cfg.quality, cfg.do_scd,
                               cfg.scene_change_delta, cfg.intra_pct_thresh,
                               cfg.stable_refresh, cfg.pyramid_levels, key)
 
-    starts = list(range(0, npad_gops, chunk))
+    def reshape_g(a):
+        return a.reshape(chunk, G, *a.shape[1:])
 
-    def dispatch(s, f=None):
-        sl = slice(s, s + chunk)
-        blob = (f or fn)(y[sl], u[sl], v[sl], prev_al[sl], stab0, refresh0)
+    def dispatch(c, f=None):
+        blob = (f or fn)(reshape_g(c.y), reshape_g(c.u), reshape_g(c.v),
+                         prev_al, stab0, refresh0)
         # enqueue D2H right behind the compute so the transfer of
         # chunk k overlaps host packing of chunk k-1
         blob.copy_to_host_async()
@@ -539,13 +577,19 @@ def encode_stream_gops(frames, meta: Metadata,
 
     meta_pkt = bytes(encode_metadata_packet(meta))
 
-    inflight = {}
-    if starts:
-        inflight[starts[0]] = dispatch(starts[0])
-    for ci, s in enumerate(starts):
-        if ci + 1 < len(starts):
-            inflight[starts[ci + 1]] = dispatch(starts[ci + 1])
-        (out_i, outs_p), _ = unpack(jax.device_get(inflight.pop(s)))
+    inflight = []
+    nxt = reader.next_chunk(chunk * G)
+    if nxt is not None:
+        inflight.append((nxt, dispatch(nxt)))
+    while inflight:
+        nxt = reader.next_chunk(chunk * G)
+        if nxt is not None:
+            inflight.append((nxt, dispatch(nxt)))
+        ck, blob = inflight.pop(0)
+        s = ck.start // G            # chunk's first gop index
+        N_cut = ck.start + ck.n_real  # global frame cutoff for this chunk
+        ngops = s + div_round(ck.n_real, G)
+        (out_i, outs_p), _ = unpack(jax.device_get(blob))
         if "qcomp_i" in out_i:
             overflow = any(np.any(out_i["qcomp_i"][c][3] > 0)
                            for c in range(3))
@@ -559,7 +603,7 @@ def encode_stream_gops(frames, meta: Metadata,
                     cfg.scene_change_delta, cfg.intra_pct_thresh,
                     cfg.stable_refresh, cfg.pyramid_levels, key, 0)
                 (out_i, outs_p), _ = unpack_f(
-                    jax.device_get(dispatch(s, full)))
+                    jax.device_get(dispatch(ck, full)))
 
         if "qcomp_i" in out_i:
             # fast path: one native call assembles the whole chunk's
@@ -585,7 +629,7 @@ def encode_stream_gops(frames, meta: Metadata,
                 pst = np.zeros((chunk, 0, 1), np.uint8)
             pkt, prev_link = bits.pack_chunk(
                 FOURCC, VERSION_MINOR, blk_w, blk_h, nbh, nbv, quant,
-                MAX_QP_BITS, meta_pkt, chunk, G, s, ngops, N,
+                MAX_QP_BITS, meta_pkt, chunk, G, s, ngops, N_cut,
                 _fnum_base, 1,
                 [out_i["qcomp_i"][c][0] for c in range(3)],
                 [out_i["qcomp_i"][c][1] for c in range(3)],
@@ -626,7 +670,7 @@ def encode_stream_gops(frames, meta: Metadata,
             out.extend(encode_metadata_packet(meta))
             for i in range(G):
                 fnum = g * G + i
-                if fnum >= N:
+                if fnum >= N_cut:
                     break
                 has_ref = bool(field(gl, i, "has_ref"))
                 mv = {k: field(gl, i, k) for k in

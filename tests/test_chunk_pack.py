@@ -68,3 +68,17 @@ def test_dense_fallback_on_compaction_overflow():
                         rc_mode=RATE_CONTROL_CRF, stable_refresh=3)
     assert _seq(frames, cfg) == \
         encode_stream_gops(frames, Metadata(W, H, SUB), cfg)
+
+
+@pytest.mark.parametrize("gop,n", [(4, 13), (GOP_INTRA, 7)])
+def test_streaming_iterator_matches_list(gop, n):
+    """encode_stream_gops streams from any iterable with constant
+    memory; a generator input must produce the identical stream."""
+    frames = _frames(n, seed=6)
+    cfg = EncoderConfig(quality=quality_percent(85), gop=gop,
+                        rc_mode=RATE_CONTROL_CRF,
+                        stable_refresh=max(1, gop - 1))
+    meta = Metadata(W, H, SUB)
+    from_list = encode_stream_gops(frames, meta, cfg)
+    from_gen = encode_stream_gops((f for f in frames), meta, cfg)
+    assert from_gen == from_list
