@@ -103,10 +103,12 @@ def _usage(params, mode):
     print("\t-y : overwrite without prompting")
     print("\t-l<n> : log level")
     print("\t-v : verbose")
+    print("\t-prof_ : write a JAX profiler trace to this directory")
 
 
 def _parse(argv, params):
-    opts = {"inp": None, "out": None, "y": False, "v": False, "l": 2}
+    opts = {"inp": None, "out": None, "y": False, "v": False, "l": 2,
+            "prof": None}
     table = {p.prefix: p for p in params}
     for a in argv:
         if not a.startswith("-"):
@@ -128,6 +130,9 @@ def _parse(argv, params):
             continue
         if a.startswith("out_"):
             opts["out"] = a[4:]
+            continue
+        if a.startswith("prof_"):
+            opts["prof"] = a[5:]
             continue
         for pref in sorted(table, key=len, reverse=True):
             if a.startswith(pref):
@@ -196,6 +201,11 @@ def encode_main(argv) -> int:
     nencoded = 0
     use_par = (bool(_get(params, "gopar"))
                and rc_mode == C.RATE_CONTROL_CRF)
+    import contextlib
+    prof = contextlib.nullcontext()
+    if opts.get("prof"):
+        from .utils.trace import profile_trace
+        prof = profile_trace(opts["prof"])
     if use_par:
         # GOP-parallel device path (parallel/gop.py): CRF streams are
         # independent of packed byte counts, so whole GOPs encode as
@@ -215,12 +225,13 @@ def encode_main(argv) -> int:
                     yield planes
 
         from .parallel import encode_stream_gops
-        out = bytearray(encode_stream_gops(frame_iter(), meta, cfg))
+        with prof:
+            out = bytearray(encode_stream_gops(frame_iter(), meta, cfg))
     else:
         enc = Encoder(meta, cfg)
         enc.start()
         out = bytearray()
-        with open(opts["inp"], "rb") as f:
+        with prof, open(opts["inp"], "rb") as f:
             while True:
                 if maxframe > 0 and frno >= maxframe:
                     break
@@ -233,7 +244,7 @@ def encode_main(argv) -> int:
                     out += pkt
                 frno += 1
                 nencoded += 1
-        out += enc.end_of_stream()
+            out += enc.end_of_stream()
     if opts["v"] and nencoded:
         fps = (meta.fps_num + meta.fps_den // 2) // meta.fps_den
         bpf = len(out) * 8 // nencoded
