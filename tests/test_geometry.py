@@ -11,7 +11,7 @@ from dsv1_tpu.parallel.gop import block_geometry
 
 
 @pytest.mark.parametrize("w,h,blk", [
-    (352, 288, (16, 16)), (704, 480, (24, 24)), (1280, 720, (32, 24)),
+    (352, 288, (16, 16)), (704, 480, (24, 24)), (1280, 720, (48, 32)),
     (1920, 1080, (64, 48)), (3840, 2160, (64, 64)), (7680, 4320, (64, 64)),
 ])
 def test_block_geometry_matches_reference_sizing(w, h, blk):
