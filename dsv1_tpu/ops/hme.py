@@ -31,7 +31,9 @@ from .bmc import hpel_variants_luma
 from .frame import FrameLayout, flat_base
 from .opt import runtime, span_gather
 
-INT_MAX = jnp.int32(2**31 - 1)
+# np scalar, not jnp: a module-level device array would initialize the
+# JAX backend at import (and block forever if the TPU tunnel is down)
+INT_MAX = np.int32(2**31 - 1)
 
 # ablation switches for performance work (timing only — results are wrong
 # when non-empty): {"halfpel", "intra", "coarse", "cands", "ninepoint"}
