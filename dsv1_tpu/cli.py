@@ -210,23 +210,37 @@ def encode_main(argv) -> int:
         # GOP-parallel device path (parallel/gop.py): CRF streams are
         # independent of packed byte counts, so whole GOPs encode as
         # device-resident scans, batched and sharded across chips.
-        # Frames stream from disk chunk by chunk (constant memory).
-        def frame_iter():
-            nonlocal nencoded, frno
-            with open(opts["inp"], "rb") as f:
-                while maxframe <= 0 or frno < maxframe:
-                    planes = read_frame(f, frno, w, h, subsamp)
-                    if planes is None:
-                        break
-                    if opts["v"]:
-                        print(f"encoding frame {frno}", end="\r", flush=True)
-                    frno += 1
-                    nencoded += 1
-                    yield planes
+        # Frames stream from disk chunk by chunk (constant memory); the
+        # source advertises its length (from the file size) so short
+        # clips keep tight device-batch shapes.
+        import os
+        from .utils.yuv import frame_size
+
+        fsz = frame_size(w, h, subsamp)
+        avail = max(0, os.path.getsize(opts["inp"]) // fsz - frno)
+        n_total = min(avail, maxframe - frno) if maxframe > 0 else avail
+
+        class _Frames:
+            def __len__(self):
+                return n_total
+
+            def __iter__(self):
+                nonlocal nencoded, frno
+                with open(opts["inp"], "rb") as f:
+                    while maxframe <= 0 or frno < maxframe:
+                        planes = read_frame(f, frno, w, h, subsamp)
+                        if planes is None:
+                            break
+                        if opts["v"]:
+                            print(f"encoding frame {frno}", end="\r",
+                                  flush=True)
+                        frno += 1
+                        nencoded += 1
+                        yield planes
 
         from .parallel import encode_stream_gops
         with prof:
-            out = bytearray(encode_stream_gops(frame_iter(), meta, cfg))
+            out = bytearray(encode_stream_gops(_Frames(), meta, cfg))
     else:
         enc = Encoder(meta, cfg)
         enc.start()
@@ -268,6 +282,11 @@ def decode_main(argv) -> int:
     to420 = bool(_get(params, "out420p"))
     drawinfo = _get(params, "drawinfo")
     stream = open(opts["inp"], "rb").read()
+    import contextlib
+    prof = contextlib.nullcontext()
+    if opts.get("prof"):
+        from .utils.trace import profile_trace
+        prof = profile_trace(opts["prof"])
     if drawinfo:
         # overlays need per-frame block data: sequential path
         dec = Decoder(draw_info=drawinfo)
@@ -275,10 +294,12 @@ def decode_main(argv) -> int:
         get_meta = dec.get_metadata
     else:
         from .parallel import decode_stream_gops
-        meta_b, frames = decode_stream_gops(stream)
+        with prof:
+            meta_b, frames = decode_stream_gops(stream)
+        prof = contextlib.nullcontext()  # trace captured; don't re-enter
         decoded = iter(frames)
         get_meta = lambda: meta_b  # noqa: E731
-    with open(opts["out"], "wb") as f:
+    with prof, open(opts["out"], "wb") as f:
         for fno, planes in decoded:
             meta = get_meta()
             if to420 and meta.subsamp != C.SUBSAMP_420:

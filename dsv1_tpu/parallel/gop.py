@@ -351,6 +351,21 @@ class _FrameChunk:
         self.start, self.n_real = start, n_real
 
 
+def _pipelined(reader: "_ChunkReader", k: int, dispatch):
+    """Depth-2 prefetch pipeline: dispatch chunk n+1 before processing
+    chunk n, so device compute + D2H of the next chunk overlap host
+    packing of the current one. Yields (chunk, dispatched) in order."""
+    inflight = []
+    nxt = reader.next_chunk(k)
+    if nxt is not None:
+        inflight.append((nxt, dispatch(nxt)))
+    while inflight:
+        nxt = reader.next_chunk(k)
+        if nxt is not None:
+            inflight.append((nxt, dispatch(nxt)))
+        yield inflight.pop(0)
+
+
 class _ChunkReader:
     """Pulls (y, u, v) frames from any iterable in fixed-size chunks,
     padding a short tail by repeating the last real frame (padded
@@ -474,15 +489,7 @@ def encode_stream_gops(frames, meta: Metadata,
             blob.copy_to_host_async()
             return blob
 
-        inflight = []  # [(chunk_data, blob)] depth-2 pipeline
-        nxt = reader.next_chunk(chunkf)
-        if nxt is not None:
-            inflight.append((nxt, dispatch_i(nxt)))
-        while inflight:
-            nxt = reader.next_chunk(chunkf)
-            if nxt is not None:
-                inflight.append((nxt, dispatch_i(nxt)))
-            c, blob = inflight.pop(0)
+        for c, blob in _pipelined(reader, chunkf, dispatch_i):
             s = c.start
             o = _blob_split(jax.device_get(blob), layout_box)
             if any(np.any(o["qcomp_i"][ci][3] > 0) for ci in range(3)):
@@ -577,15 +584,7 @@ def encode_stream_gops(frames, meta: Metadata,
 
     meta_pkt = bytes(encode_metadata_packet(meta))
 
-    inflight = []
-    nxt = reader.next_chunk(chunk * G)
-    if nxt is not None:
-        inflight.append((nxt, dispatch(nxt)))
-    while inflight:
-        nxt = reader.next_chunk(chunk * G)
-        if nxt is not None:
-            inflight.append((nxt, dispatch(nxt)))
-        ck, blob = inflight.pop(0)
+    for ck, blob in _pipelined(reader, chunk * G, dispatch):
         s = ck.start // G            # chunk's first gop index
         N_cut = ck.start + ck.n_real  # global frame cutoff for this chunk
         ngops = s + div_round(ck.n_real, G)

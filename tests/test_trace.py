@@ -21,8 +21,27 @@ def test_cli_prof_writes_trace(tmp_path):
                           "-rc_mode1", f"-prof_{trace_dir}", "-y"])
     assert rc == 0
     assert (tmp_path / "o.dsv").stat().st_size > 0
-    files = glob.glob(str(trace_dir / "**" / "*"), recursive=True)
-    assert any("trace" in f or "profile" in f for f in files)
+    # the profiler writes .xplane.pb under plugins/profile/<run>/
+    files = glob.glob(str(trace_dir / "plugins" / "profile" / "**" / "*"),
+                      recursive=True)
+    assert any(f.endswith((".xplane.pb", ".trace.json.gz")) for f in files)
+
+
+def test_cli_prof_decode_writes_trace(tmp_path):
+    w, h, n = 48, 32, 3
+    (tmp_path / "in.yuv").write_bytes(corpus.make_clip(w, h, SUBSAMP_420,
+                                                       n, seed=1))
+    assert cli.encode_main([f"-inp_{tmp_path/'in.yuv'}",
+                            f"-out_{tmp_path/'o.dsv'}", f"-w{w}", f"-h{h}",
+                            "-fmt2", f"-nfr{n}", "-gop2", "-qp85",
+                            "-rc_mode1", "-y"]) == 0
+    tdir = tmp_path / "dtrace"
+    assert cli.decode_main([f"-inp_{tmp_path/'o.dsv'}",
+                            f"-out_{tmp_path/'d.yuv'}",
+                            f"-prof_{tdir}", "-y"]) == 0
+    files = glob.glob(str(tdir / "plugins" / "profile" / "**" / "*"),
+                      recursive=True)
+    assert any(f.endswith((".xplane.pb", ".trace.json.gz")) for f in files)
 
 
 def test_stage_timer_report():
