@@ -37,6 +37,26 @@ from .models.metadata import Metadata
 __all__ = [
     "SUBSAMP_444", "SUBSAMP_422", "SUBSAMP_420", "SUBSAMP_411",
     "MAX_QUALITY", "quality_percent", "Metadata",
+    "Encoder", "EncoderConfig", "Decoder",
+    "encode_stream_gops", "decode_stream_gops",
 ]
+
+_LAZY = {
+    "Encoder": ("dsv1_tpu.models.encoder", "Encoder"),
+    "EncoderConfig": ("dsv1_tpu.models.encoder", "EncoderConfig"),
+    "Decoder": ("dsv1_tpu.models.decoder", "Decoder"),
+    "encode_stream_gops": ("dsv1_tpu.parallel", "encode_stream_gops"),
+    "decode_stream_gops": ("dsv1_tpu.parallel", "decode_stream_gops"),
+}
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import dsv1_tpu` light)."""
+    if name in _LAZY:
+        import importlib
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'dsv1_tpu' has no attribute {name!r}")
+
 
 __version__ = "0.1.0"
