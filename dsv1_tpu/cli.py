@@ -199,8 +199,10 @@ def encode_main(argv) -> int:
     nfr = _get(params, "nfr")
     maxframe = frno + nfr if nfr > 0 else -1
     nencoded = 0
+    # effectively-infinite GOPs (reference DSV_GOP_INF) run sequentially:
+    # the device path compiles a scan of length gop-1
     use_par = (bool(_get(params, "gopar"))
-               and rc_mode == C.RATE_CONTROL_CRF)
+               and rc_mode == C.RATE_CONTROL_CRF and gop <= 4096)
     import contextlib
     prof = contextlib.nullcontext()
     if opts.get("prof"):

@@ -447,6 +447,12 @@ def encode_stream_gops(frames, meta: Metadata,
     cfg = cfg or EncoderConfig()
     if cfg.rc_mode != RATE_CONTROL_CRF:
         raise ValueError("GOP-parallel encode supports CRF only")
+    if cfg.gop != GOP_INTRA and cfg.gop > 4096:
+        # a GOP is one device-resident scan of length gop-1; effectively
+        # infinite GOPs (DSV_GOP_INF = INT_MAX) belong on the sequential
+        # encoder, not a 2^31-step compiled scan
+        raise ValueError("GOP too long for the device-resident scan; "
+                         "use models.encoder.Encoder")
     w, h, subsamp = meta.width, meta.height, meta.subsamp
     # known length (sequence) tightens chunk sizing; iterators/generators
     # stream with constant memory (two chunks in flight)

@@ -57,3 +57,20 @@ def test_cli_out420p_matches_reference(tmp_path):
                f"-out_{tmp_path}/ours420.yuv", "-out420p1", "-y"])
     assert (tmp_path / "ref420.yuv").read_bytes() == \
         (tmp_path / "ours420.yuv").read_bytes()
+
+
+def test_cli_gop_inf_matches_reference(tmp_path):
+    """DSV_GOP_INF (gop = INT_MAX): one I frame then P forever — must
+    fall back to the sequential encoder and stay byte-identical."""
+    oracle.build_oracle()
+    w, h, n = 64, 48, 6
+    yuv = corpus.make_clip(w, h, 0x5, n, seed=3)
+    (tmp_path / "in.yuv").write_bytes(yuv)
+    common = [f"-inp_{tmp_path}/in.yuv", f"-w{w}", f"-h{h}", f"-nfr{n}",
+              "-gop2147483647", "-rc_mode1", "-y"]
+    subprocess.run([str(oracle.BIN), "e", *common,
+                    f"-out_{tmp_path}/ref.dsv"], check=True,
+                   capture_output=True)
+    _run_ours(["e", *common, f"-out_{tmp_path}/ours.dsv"])
+    assert (tmp_path / "ref.dsv").read_bytes() == \
+        (tmp_path / "ours.dsv").read_bytes()
