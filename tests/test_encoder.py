@@ -67,3 +67,12 @@ def test_encoder_444_scd(tmp_path):
                         scene_change_delta=2)
     _compare(tmp_path, 64, 64, SUBSAMP_444, 8, cfg,
              gop=8, qp=75, rc_mode=1, stabref=7, schdelta=2)
+
+
+def test_encoder_odd_dims_crf(tmp_path):
+    """Odd frame dims (106x90: chroma 53x45 rounds to even 54x46 coef
+    dims) must stay byte-identical through the edge-replication paths."""
+    cfg = EncoderConfig(quality=quality_percent(60), gop=4,
+                        rc_mode=RATE_CONTROL_CRF, stable_refresh=3)
+    _compare(tmp_path, 106, 90, SUBSAMP_420, 5, cfg,
+             gop=4, qp=60, rc_mode=1, stabref=3)
