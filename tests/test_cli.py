@@ -74,3 +74,21 @@ def test_cli_gop_inf_matches_reference(tmp_path):
     _run_ours(["e", *common, f"-out_{tmp_path}/ours.dsv"])
     assert (tmp_path / "ref.dsv").read_bytes() == \
         (tmp_path / "ours.dsv").read_bytes()
+
+
+def test_cli_fps_aspect_metadata(tmp_path):
+    """Non-default fps/aspect ratios flow into the metadata packet
+    byte-identically (dsv_main fps_num/den, aspect_num/den params)."""
+    oracle.build_oracle()
+    w, h, n = 64, 48, 4
+    yuv = corpus.make_clip(w, h, 0x5, n, seed=6)
+    (tmp_path / "in.yuv").write_bytes(yuv)
+    common = [f"-inp_{tmp_path}/in.yuv", f"-w{w}", f"-h{h}", f"-nfr{n}",
+              "-gop2", "-rc_mode1", "-fps_num24000", "-fps_den1001",
+              "-aspect_num16", "-aspect_den9", "-y"]
+    subprocess.run([str(oracle.BIN), "e", *common,
+                    f"-out_{tmp_path}/ref.dsv"], check=True,
+                   capture_output=True)
+    _run_ours(["e", *common, f"-out_{tmp_path}/ours.dsv"])
+    assert (tmp_path / "ref.dsv").read_bytes() == \
+        (tmp_path / "ours.dsv").read_bytes()
