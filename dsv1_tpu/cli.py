@@ -295,12 +295,12 @@ def decode_main(argv) -> int:
         decoded = dec.decode_stream(stream)
         get_meta = dec.get_metadata
     else:
-        from .parallel import decode_stream_gops
-        with prof:
-            meta_b, frames = decode_stream_gops(stream)
-        prof = contextlib.nullcontext()  # trace captured; don't re-enter
-        decoded = iter(frames)
-        get_meta = lambda: meta_b  # noqa: E731
+        # streaming: frames decode chunk-by-chunk while earlier ones are
+        # written out; meta_box fills before the first frame yields
+        from .parallel import iter_decode_gops
+        meta_box = {}
+        decoded = iter_decode_gops(stream, _meta_box=meta_box)
+        get_meta = lambda: meta_box.get("meta")  # noqa: E731
     with prof, open(opts["out"], "wb") as f:
         for fno, planes in decoded:
             meta = get_meta()

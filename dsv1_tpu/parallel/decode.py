@@ -122,27 +122,35 @@ def _parse_picture(data: bytes, meta: Metadata):
     nbh, nbv = hdr["nbh"], hdr["nbv"]
     _, coef_dims, tables = coef_geometry(meta.subsamp, meta.width,
                                          meta.height, nbh, nbv)
-    qgrids, dcs, overflow = [], [], False
+    sidx, sval, dcs, overflow = [], [], [], False
     for c in range(3):
         cw, ch = coef_dims[c]
         dc, runs, vals, plen = planes[c]
         if plen <= 0 or plen > cw * ch * 4 * 2:
             raise ValueError("bad plane length")
-        grid = np.zeros(cw * ch, np.int16)
         if runs.size:
             pos = np.cumsum(runs.astype(np.int64) + 1) - 1
             keep = pos < tables[c].n
             v = vals[:runs.size][keep]
             if v.size and np.abs(v).max() > 32767:
                 overflow = True
-            # last-wins over band aliases (reference visit order)
-            grid[tables[c].perm[pos[keep]]] = v.astype(np.int16)
-        qgrids.append(grid.reshape(ch, cw))
+            idx = tables[c].perm[pos[keep]].astype(np.int32)
+            # resolve band aliases last-wins here (reference visit
+            # order), so the deferred grid scatter is duplicate-free
+            u, last_rev = np.unique(idx[::-1], return_index=True)
+            sidx.append(u)
+            sval.append(v.astype(np.int16)[::-1][last_rev])
+        else:
+            sidx.append(np.zeros(0, np.int32))
+            sval.append(np.zeros(0, np.int16))
         dcs.append(dc)
+    # grids are scattered lazily at device-batch time (qgrid_of):
+    # keeping symbols instead of dense (ch, cw) int16 grids bounds the
+    # whole-stream parse memory by the coded size, not the frame size
     return dict(fno=hdr["fno"], blk_w=hdr["blk_w"], blk_h=hdr["blk_h"],
                 has_ref=hdr["has_ref"], is_ref=pt_is_ref(pkt_type),
                 quant=hdr["quant"], stable=stable, modes=modes, mvx=mvx,
-                mvy=mvy, submask=submask, qgrids=qgrids,
+                mvy=mvy, submask=submask, sidx=sidx, sval=sval,
                 dcs=np.asarray(dcs, np.int32), overflow=overflow)
 
 
@@ -153,6 +161,16 @@ def decode_stream_gops(stream: bytes, mesh: Mesh | None = None):
     back to the sequential decoder for streams the batched path cannot
     express (no metadata, int16 overflow, mid-stream geometry change).
     """
+    meta_box = {}
+    frames = list(iter_decode_gops(stream, mesh, _meta_box=meta_box))
+    return meta_box.get("meta"), frames
+
+
+def iter_decode_gops(stream: bytes, mesh: Mesh | None = None, *,
+                     _meta_box: dict | None = None):
+    """Generator variant of decode_stream_gops: yields (fno, [y, u, v])
+    in stream order while holding only one device chunk of decoded
+    frames (plus the parsed symbol lists) in memory."""
     meta = None
     frames = []
     for _t, pkt in iter_packets(stream):
@@ -168,14 +186,16 @@ def decode_stream_gops(stream: bytes, mesh: Mesh | None = None):
             # corrupt or truncated packet: skip it, like the reference's
             # in-stream guards (hzcc.c:337-339, dsv_decoder.c:398-401)
             continue
+    if _meta_box is not None:
+        _meta_box["meta"] = meta
     if meta is None or not frames:
-        return meta, []
+        return
     if (any(f["overflow"] for f in frames)
             or len({(f["blk_w"], f["blk_h"]) for f in frames}) != 1):
         from ..models.decoder import Decoder
         dec = Decoder()
-        return meta, [(fno, planes)
-                      for fno, planes in dec.decode_stream(stream)]
+        yield from dec.decode_stream(stream)
+        return
 
     # split into chains: every no-ref picture starts one
     chains = []
@@ -204,7 +224,6 @@ def decode_stream_gops(stream: bytes, mesh: Mesh | None = None):
 
     nc = len(chains)
     npad = div_round(nc, chunk) * chunk
-    results = [None] * len(frames)
 
     def pack_chunk(s):
         qg = [np.zeros((chunk, L, ch, cw), np.int16)
@@ -225,7 +244,9 @@ def decode_stream_gops(stream: bytes, mesh: Mesh | None = None):
             for k, fi in enumerate(chains[ci]):
                 f = frames[fi]
                 for c in range(3):
-                    qg[c][cl, k] = f["qgrids"][c]
+                    # deferred duplicate-free symbol scatter (parse
+                    # keeps symbols, not dense grids)
+                    qg[c][cl, k].reshape(-1)[f["sidx"][c]] = f["sval"][c]
                 dcs[cl, k] = f["dcs"]
                 quants[cl, k] = f["quant"]
                 is_p[cl, k] = f["has_ref"]
@@ -251,6 +272,6 @@ def decode_stream_gops(stream: bytes, mesh: Mesh | None = None):
             if ci >= nc:
                 break
             for k, fi in enumerate(chains[ci]):
-                results[fi] = (frames[fi]["fno"],
-                               [outs[c][cl, k] for c in range(3)])
-    return meta, results
+                yield (frames[fi]["fno"],
+                       [outs[c][cl, k] for c in range(3)])
+                frames[fi] = None  # free symbols as we go
