@@ -30,6 +30,7 @@ stream differs in stability flags only — still spec-valid and decoded
 bit-exactly by the reference decoder.
 """
 
+import os
 from functools import lru_cache
 
 import jax
@@ -60,6 +61,29 @@ from ..ops.pallas_hme import use_pallas
 def crf_quant(quality: int) -> int:
     """quality2quant CRF tail (dsv_encoder.c:165)."""
     return MAX_QUALITY - ((MAX_QUALITY - 5) * quality // MAX_QUALITY)
+
+
+def plane_sizes(subsamp: int, w: int, h: int):
+    """(luma, chroma) element counts of one packed planar frame."""
+    from ..constants import format_h_shift, format_v_shift, round_shift
+    cw = round_shift(w, format_h_shift(subsamp))
+    ch = round_shift(h, format_v_shift(subsamp))
+    return w * h, cw * ch, cw, ch
+
+
+def _split_planes(packed, subsamp: int, w: int, h: int):
+    """Device side: (..., fsz) packed planar uint8 -> (y, u, v).
+
+    Input frames cross the host->device link as ONE packed byte array
+    per chunk instead of three (y, u, v) arrays: the tunnel link charges
+    a fixed per-transfer cost (~25ms measured on fetches), so
+    coalescing H2D mirrors the D2H blob trick (ops/opt.py:blob_concat).
+    The byte order is the raw planar YUV file order (dsv.c:98-170)."""
+    ysz, csz, cw, ch = plane_sizes(subsamp, w, h)
+    lead = packed.shape[:-1]
+    return (packed[..., :ysz].reshape(lead + (h, w)),
+            packed[..., ysz:ysz + csz].reshape(lead + (ch, cw)),
+            packed[..., ysz + csz:ysz + 2 * csz].reshape(lead + (ch, cw)))
 
 
 def block_geometry(w: int, h: int):
@@ -121,7 +145,8 @@ def _stable_update(stability, refresh_ctr, is_p, mv, stable_refresh: int):
 def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
                       do_scd: bool = True, scd_delta: int = 4,
                       intra_thresh: int = 50, stable_refresh: int = 0,
-                      pyramid_levels: int = 0, compact: int = 1024):
+                      pyramid_levels: int = 0, compact: int = 1024,
+                      effort: int = 0):
     """Pure fn encoding one closed CRF GOP of G frames on device.
 
     f(y[G,h,w]u8, u, v, prev_al0 i32, stab0[nblk,2]i32, refresh0 i32)
@@ -188,8 +213,9 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
     compact_p_tagged = ("qcomp_p", lambda qvals: tuple(
         _compact_sparse_p(qv) for qv in qvals))
 
-    def run_batch(y, u, v, prev_al0, stab0, refresh0):
-        """Batched over a leading GOP axis C: y/u/v are (C, G, ...).
+    def run_batch(packed, prev_al0, stab0, refresh0):
+        """Batched over a leading GOP axis C: packed is (C, G, fsz) u8
+        planar frames (one coalesced H2D transfer per chunk).
 
         The motion path (prep/pyramids, HME, SCD, forced-intra) depends
         only on consecutive *input* frames, never on the recon chain —
@@ -201,15 +227,14 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
         stability accumulators — remains a lax.scan (vmapped over C).
         The GOP axis is explicit rather than vmapped so the pallas grid
         sees the whole batch."""
-        C = y.shape[0]
+        C = packed.shape[0]
         B = C * G
+        y, u, v = _split_planes(packed.reshape(B, -1), subsamp, w, h)
 
         def prep_one(a, b, c):
             return prep((a, b, c))
 
-        imgs_all, al_all = jax.vmap(prep_one)(
-            y.reshape((B,) + y.shape[2:]), u.reshape((B,) + u.shape[2:]),
-            v.reshape((B,) + v.shape[2:]))
+        imgs_all, al_all = jax.vmap(prep_one)(y, u, v)
         al_all = al_all.reshape(C, G)
 
         if G > 1:
@@ -223,11 +248,13 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
             if use_pallas():
                 mv_all = hme_batch([p[0] for p in pairs],
                                    [p[1] for p in pairs], layouts,
-                                   blk_w, blk_h, nbh, nbv, subsamp, levels)
+                                   blk_w, blk_h, nbh, nbv, subsamp, levels,
+                                   effort=effort)
             else:
                 def hme_t(sr):
                     return hme_run(list(sr[0]), list(sr[1]), layouts,
-                                   blk_w, blk_h, nbh, nbv, subsamp, levels)
+                                   blk_w, blk_h, nbh, nbv, subsamp, levels,
+                                   effort=effort)
 
                 F = max(1, min(C * (G - 1), (6 << 20) // max(w * h, 1)))
                 mv_all = lax.map(hme_t,
@@ -290,18 +317,18 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
     # geometry, captured at trace).
     layout_box = {}
 
-    def run_blobs(y, u, v, prev_al0, stab0, refresh0):
-        tree = run_batch(y, u, v, prev_al0, stab0, refresh0)
-        return _blob_concat(tree, y.shape[0], layout_box)
+    def run_blobs(packed, prev_al0, stab0, refresh0):
+        tree = run_batch(packed, prev_al0, stab0, refresh0)
+        return _blob_concat(tree, packed.shape[0], layout_box)
 
     def unpack(blob):
         """Host side: byte blob (already device_get) -> output pytree."""
         return _blob_split(blob, layout_box)
 
-    def run(y, u, v, prev_al0, stab0, refresh0):
+    def run(packed, prev_al0, stab0, refresh0):
         """Single-GOP convenience wrapper (driver compile check)."""
-        return run_blobs(y[None], u[None], v[None], prev_al0[None],
-                         stab0[None], refresh0[None])
+        return run_blobs(packed[None], prev_al0[None], stab0[None],
+                         refresh0[None])
 
     run.batch = run_blobs
     run.unpack = unpack
@@ -325,8 +352,8 @@ def build_intra_encoder(subsamp: int, w: int, h: int, quality: int,
     ll_sizes = [int(t.seg_bounds[1])
                 for t in coef_geometry(subsamp, w, h, nbh, nbv)[2]]
 
-    def run(y, u, v):
-        imgs, _ = prep((y, u, v))
+    def run(packed):
+        imgs, _ = prep(_split_planes(packed, subsamp, w, h))
         stable = jnp.ones(nblk, jnp.uint8)
         z = jnp.zeros(nblk, jnp.int32)
         qvals, dcs, _ = core_i(imgs[0], jnp.int32(0), jnp.int32(quant),
@@ -344,26 +371,75 @@ def build_intra_encoder(subsamp: int, w: int, h: int, quality: int,
 
 
 class _FrameChunk:
-    __slots__ = ("y", "u", "v", "start", "n_real")
+    __slots__ = ("packed", "start", "n_real")
 
-    def __init__(self, y, u, v, start, n_real):
-        self.y, self.u, self.v = y, u, v
+    def __init__(self, packed, start, n_real):
+        self.packed = packed  # (k, fsz) uint8, raw planar frame bytes
         self.start, self.n_real = start, n_real
 
 
+def _env_int(name: str, default: int) -> int:
+    """Runtime-read perf knob (read per call, so tests/profilers can
+    flip it without reimporting)."""
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:  # pragma: no cover
+        return default
+
+
 def _pipelined(reader: "_ChunkReader", k: int, dispatch):
-    """Depth-2 prefetch pipeline: dispatch chunk n+1 before processing
-    chunk n, so device compute + D2H of the next chunk overlap host
-    packing of the current one. Yields (chunk, dispatched) in order."""
+    """Prefetch pipeline: keep `DSV1_PREFETCH` (default 2) chunks
+    dispatched ahead of the one being host-packed, so the tunnel's H2D
+    upload + device compute + D2H of later chunks overlap host packing
+    of the current one. Dispatch is fully async (jit call + D2H enqueue
+    return immediately); the only blocking point is the consumer's
+    device_get. Yields (chunk, dispatched) in order."""
+    depth = max(1, _env_int("DSV1_PREFETCH", 2))
     inflight = []
-    nxt = reader.next_chunk(k)
-    if nxt is not None:
+    while len(inflight) < depth:
+        nxt = reader.next_chunk(k)
+        if nxt is None:
+            break
         inflight.append((nxt, dispatch(nxt)))
     while inflight:
         nxt = reader.next_chunk(k)
         if nxt is not None:
             inflight.append((nxt, dispatch(nxt)))
         yield inflight.pop(0)
+
+
+_H2D_POOL = None
+
+
+def _stage_h2d(arrs, sharding=None):
+    """Explicitly enqueue H2D transfers for a chunk's input arrays.
+
+    DSV1_H2D_STREAMS = 0 (default): pass numpy through and let the jit
+    call transfer implicitly. 1: one explicit async device_put per
+    array. S > 1: split each array into S slices along axis 0 and
+    device_put them from S threads — if the device link (the axon
+    tunnel here) gives each transfer its own stream, this multiplies
+    effective H2D bandwidth; measured by tools/profile_tpu.py's
+    bw_probe. Slices are re-joined by an on-device concatenate (HBM
+    bandwidth is free at these sizes). With a mesh sharding the arrays
+    go up as one sharded device_put (stream splitting would fight the
+    shard layout)."""
+    streams = _env_int("DSV1_H2D_STREAMS", 0)
+    if streams <= 0 and sharding is None:
+        return arrs
+    if streams <= 1 or sharding is not None:
+        return [jax.device_put(a, sharding) for a in arrs]
+    global _H2D_POOL
+    if _H2D_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _H2D_POOL = ThreadPoolExecutor(max_workers=16)
+    out = []
+    for a in arrs:
+        n = min(streams, a.shape[0])
+        futs = [_H2D_POOL.submit(jax.device_put, s)
+                for s in np.array_split(a, n, axis=0)]
+        out.append(jnp.concatenate([f.result() for f in futs], axis=0))
+    return out
 
 
 class _ChunkReader:
@@ -379,10 +455,10 @@ class _ChunkReader:
         self._pos = 0
 
     def next_chunk(self, k: int) -> _FrameChunk | None:
-        ys, us, vs = [], [], []
+        packed = None
         n_real = 0
         start = self._pos
-        while len(ys) < k:
+        for i in range(k):
             f = next(self._it, None)
             if f is not None:
                 self._last = f
@@ -393,12 +469,17 @@ class _ChunkReader:
                 return None
             else:
                 f = self._last
-            ys.append(np.asarray(f[0]))
-            us.append(np.asarray(f[1]))
-            vs.append(np.asarray(f[2]))
+            # pack to raw planar file byte order (dsv.c:98-170): the
+            # whole chunk crosses the link as one contiguous transfer
+            y, u, v = (np.asarray(p, np.uint8) for p in f[:3])
+            if packed is None:
+                packed = np.empty((k, y.size + u.size + v.size), np.uint8)
+            row = packed[i]
+            row[:y.size] = y.ravel()
+            row[y.size:y.size + u.size] = u.ravel()
+            row[y.size + u.size:] = v.ravel()
         self._pos += n_real
-        return _FrameChunk(np.stack(ys), np.stack(us), np.stack(vs),
-                           start, n_real)
+        return _FrameChunk(packed, start, n_real)
 
 
 def gop_mesh(devices=None, axis: str = "gop") -> Mesh:
@@ -410,17 +491,18 @@ def gop_mesh(devices=None, axis: str = "gop") -> Mesh:
 
 @lru_cache(maxsize=8)
 def _jit_batched(subsamp, w, h, G, quality, do_scd, scd_delta, intra_thresh,
-                 stable_refresh, pyramid_levels, mesh_key, compact=1024):
+                 stable_refresh, pyramid_levels, mesh_key, compact=1024,
+                 effort=0):
     run = build_gop_encoder(subsamp, w, h, G, quality, do_scd, scd_delta,
                             intra_thresh, stable_refresh, pyramid_levels,
-                            compact)
+                            compact, effort)
     if mesh_key is None:
         return jax.jit(run.batch), run.unpack
     # per-device closed-GOP batches: shard_map so each device runs its own
     # pallas grid / scan with zero collectives on the frame path
     mesh = _MESHES[mesh_key]
     p = PartitionSpec("gop")
-    smapped = jax.shard_map(run.batch, mesh=mesh, in_specs=(p,) * 6,
+    smapped = jax.shard_map(run.batch, mesh=mesh, in_specs=(p,) * 4,
                             out_specs=p, check_vma=False)
     return jax.jit(smapped), run.unpack
 
@@ -481,8 +563,8 @@ def encode_stream_gops(frames, meta: Metadata,
         layout_box = {}
         run1 = build_intra_encoder(subsamp, w, h, cfg.quality)
 
-        def batch_run(y, u, v):
-            return _blob_concat(jax.vmap(run1)(y, u, v), y.shape[0],
+        def batch_run(packed):
+            return _blob_concat(jax.vmap(run1)(packed), packed.shape[0],
                                 layout_box)
 
         vrun = jax.jit(batch_run)
@@ -491,7 +573,8 @@ def encode_stream_gops(frames, meta: Metadata,
         nblk = nbh * nbv
 
         def dispatch_i(c):
-            blob = vrun(c.y, c.u, c.v)
+            (pk,) = _stage_h2d([c.packed])
+            blob = vrun(pk)
             blob.copy_to_host_async()
             return blob
 
@@ -503,12 +586,12 @@ def encode_stream_gops(frames, meta: Metadata,
                 box_f = {}
                 run_f = build_intra_encoder(subsamp, w, h, cfg.quality, 0)
 
-                def batch_f(y, u, v):
-                    return _blob_concat(jax.vmap(run_f)(y, u, v),
-                                        y.shape[0], box_f)
+                def batch_f(packed):
+                    return _blob_concat(jax.vmap(run_f)(packed),
+                                        packed.shape[0], box_f)
 
-                o = _blob_split(jax.device_get(jax.jit(batch_f)(
-                    c.y, c.u, c.v)), box_f)
+                o = _blob_split(jax.device_get(jax.jit(batch_f)(c.packed)),
+                                box_f)
                 stable = np.ones(nblk, np.uint8)
                 for i in range(s, s + c.n_real):
                     out.extend(meta_pkt)
@@ -553,7 +636,7 @@ def encode_stream_gops(frames, meta: Metadata,
     # GOPs/device fit comfortably; 1080p needs one GOP per device).
     # per_dev capped at 4: larger batches crash the axon TPU worker
     # (reproduced at 8 both before and after the pallas kernel)
-    per_dev = gops_per_device or max(
+    per_dev = gops_per_device or _env_int("DSV1_GOPS_PER_DEVICE", 0) or max(
         1, min(4, (4 * 352 * 288 * 12) // max(G * w * h, 1),
                ngops_known or (1 << 30)))
     if mesh is not None:
@@ -565,24 +648,28 @@ def encode_stream_gops(frames, meta: Metadata,
         chunk = per_dev
         key = None
 
+    in_sharding = (NamedSharding(mesh, PartitionSpec("gop"))
+                   if mesh is not None else None)
     # Cross-GOP SCD state is irrelevant in CRF: every GOP's first frame
     # is statically intra (gop start), so the previous GOP's average luma
     # cannot change any within-GOP decision (check_scene_change,
     # dsv_encoder.c:538-554, only gates has_ref of P frames). prev_al0
-    # stays in the traced signature for cache stability but is zero.
-    prev_al = np.zeros(chunk, np.int32)
-    stab0 = np.zeros((chunk, nbh * nbv, 2), np.int32)
-    refresh0 = np.zeros(chunk, np.int32)
+    # stays in the traced signature for cache stability but is zero —
+    # uploaded ONCE and reused by every chunk (per-transfer link latency
+    # dwarfs these few KB).
+    prev_al, stab0, refresh0 = (
+        jax.device_put(a, in_sharding)
+        for a in (np.zeros(chunk, np.int32),
+                  np.zeros((chunk, nbh * nbv, 2), np.int32),
+                  np.zeros(chunk, np.int32)))
     fn, unpack = _jit_batched(subsamp, w, h, G, cfg.quality, cfg.do_scd,
                               cfg.scene_change_delta, cfg.intra_pct_thresh,
-                              cfg.stable_refresh, cfg.pyramid_levels, key)
-
-    def reshape_g(a):
-        return a.reshape(chunk, G, *a.shape[1:])
+                              cfg.stable_refresh, cfg.pyramid_levels, key,
+                              effort=cfg.effort)
 
     def dispatch(c, f=None):
-        blob = (f or fn)(reshape_g(c.y), reshape_g(c.u), reshape_g(c.v),
-                         prev_al, stab0, refresh0)
+        (pk,) = _stage_h2d([c.packed.reshape(chunk, G, -1)], in_sharding)
+        blob = (f or fn)(pk, prev_al, stab0, refresh0)
         # enqueue D2H right behind the compute so the transfer of
         # chunk k overlaps host packing of chunk k-1
         blob.copy_to_host_async()
@@ -606,7 +693,8 @@ def encode_stream_gops(frames, meta: Metadata,
                 full, unpack_f = _jit_batched(
                     subsamp, w, h, G, cfg.quality, cfg.do_scd,
                     cfg.scene_change_delta, cfg.intra_pct_thresh,
-                    cfg.stable_refresh, cfg.pyramid_levels, key, 0)
+                    cfg.stable_refresh, cfg.pyramid_levels, key, 0,
+                    effort=cfg.effort)
                 (out_i, outs_p), _ = unpack_f(
                     jax.device_get(dispatch(ck, full)))
 

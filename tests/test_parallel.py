@@ -46,6 +46,24 @@ def test_gop_parallel_matches_sequential(subsamp, nframes, gop):
     assert par == seq
 
 
+@pytest.mark.parametrize("gop", [4, 0])
+def test_pipeline_knobs_byte_identical(gop, monkeypatch):
+    """The perf knobs (prefetch depth, parallel-stream H2D staging,
+    per-device GOP batch) must not change a single output byte."""
+    w, h, subsamp, nframes = 96, 80, SUBSAMP_420, 10
+    yuv = corpus.make_clip(w, h, subsamp, nframes, seed=7)
+    frames = _frames(yuv, w, h, subsamp, nframes)
+    meta = Metadata(w, h, subsamp)
+    cfg = EncoderConfig(quality=quality_percent(70), gop=gop,
+                        rc_mode=RATE_CONTROL_CRF,
+                        stable_refresh=(gop - 1) or 1)
+    base = encode_stream_gops(frames, meta, cfg)
+    monkeypatch.setenv("DSV1_PREFETCH", "3")
+    monkeypatch.setenv("DSV1_H2D_STREAMS", "4")
+    monkeypatch.setenv("DSV1_GOPS_PER_DEVICE", "2")
+    assert encode_stream_gops(frames, meta, cfg) == base
+
+
 def test_gop_parallel_sharded_matches_sequential():
     w, h, subsamp, nframes, gop = 96, 80, SUBSAMP_420, 10, 4
     yuv = corpus.make_clip(w, h, subsamp, nframes, seed=9)

@@ -79,18 +79,17 @@ def encode_breakdown():
                               cfg.scene_change_delta, cfg.intra_pct_thresh,
                               cfg.stable_refresh, cfg.pyramid_levels, None)
     chunk = 4
-    y = np.stack([frames[i][0] for i in range(chunk*G)]).reshape(chunk, G, h, w)
-    u = np.stack([frames[i][1] for i in range(chunk*G)]).reshape(chunk, G, h//2, w//2)
-    v = np.stack([frames[i][2] for i in range(chunk*G)]).reshape(chunk, G, h//2, w//2)
+    packed = np.frombuffer(yuv[:chunk*G*fsz], np.uint8) \
+        .reshape(chunk, G, fsz)
     pal = np.zeros(chunk, np.int32)
     stab = np.zeros((chunk, nbh*nbv, 2), np.int32)
     ref = np.zeros(chunk, np.int32)
-    blob = fn(y, u, v, pal, stab, ref)
+    blob = fn(packed, pal, stab, ref)
     jax.block_until_ready(blob)
     R = 6
     t0 = time.perf_counter()
     for _ in range(R):
-        blob = fn(y, u, v, pal, stab, ref)
+        blob = fn(packed, pal, stab, ref)
         jax.block_until_ready(blob)
     t_disp = (time.perf_counter() - t0) / R
     t0 = time.perf_counter()
