@@ -82,6 +82,9 @@ def enc_params():
         Param("schdelta", 4, 0, 256, None, "scene change luma delta"),
         Param("gopar", 1, 0, 1, None,
               "GOP-parallel device encode (CRF only). 1 = default"),
+        Param("effort", 0, 0, 3, None,
+              "motion search effort beyond the reference (exhaustive "
+              "+-2*effort full-pel window). 0 = reference parity"),
     ]
 
 
@@ -194,7 +197,8 @@ def encode_main(argv) -> int:
         min_I_frame_quality=_get(params, "iminqp"),
         intra_pct_thresh=_get(params, "ipct"),
         scene_change_delta=_get(params, "schdelta"),
-        stable_refresh=stabref, pyramid_levels=_get(params, "pyrlevels"))
+        stable_refresh=stabref, pyramid_levels=_get(params, "pyrlevels"),
+        effort=_get(params, "effort"))
     frno = _get(params, "sfr")
     nfr = _get(params, "nfr")
     maxframe = frno + nfr if nfr > 0 else -1

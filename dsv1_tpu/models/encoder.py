@@ -75,6 +75,10 @@ class EncoderConfig:
     scene_change_delta: int = 4
     stable_refresh: int = 14
     pyramid_levels: int = 0
+    # beyond-reference: 0 = reference-parity motion search; 1..3 adds an
+    # exhaustive ±2·effort full-pel window at level 0 (ops/hme.py
+    # refine_base) — spec-valid streams, better prediction, fewer bits
+    effort: int = 0
 
 
 @lru_cache(maxsize=16)
@@ -113,20 +117,21 @@ def _jit_prep(subsamp: int, w: int, h: int, levels: int):
 
 @lru_cache(maxsize=16)
 def _jit_hme(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
-             nbh: int, nbv: int, levels: int):
+             nbh: int, nbv: int, levels: int, effort: int = 0):
     layouts = _pyr_layouts(subsamp, w, h, levels)
 
     @jax.jit
     def f(src_imgs, ref_imgs):
         return hme_run(list(src_imgs), list(ref_imgs), list(layouts),
-                       blk_w, blk_h, nbh, nbv, subsamp, levels)
+                       blk_w, blk_h, nbh, nbv, subsamp, levels,
+                       effort=effort)
 
     return f
 
 
 @lru_cache(maxsize=16)
 def _jit_prep_hme(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
-                  nbh: int, nbv: int, levels: int):
+                  nbh: int, nbv: int, levels: int, effort: int = 0):
     """Fused per-frame prep + HME: one dispatch and one small D2H blob
     instead of two dispatches plus ~10 scalar/array fetches (each fetch
     pays ~25ms link latency on the tunneled device). The padded image
@@ -141,7 +146,8 @@ def _jit_prep_hme(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
     def f(planes, ref_imgs):
         imgs, al = prep(planes)
         mv = hme_run(list(imgs), list(ref_imgs), list(layouts),
-                     blk_w, blk_h, nbh, nbv, subsamp, levels)
+                     blk_w, blk_h, nbh, nbv, subsamp, levels,
+                     effort=effort)
         small = dict(mv)
         small["al"] = jnp.asarray(al, jnp.int32)
         blob = blob_concat(
@@ -488,7 +494,8 @@ class Encoder:
             # before the SCD verdict is known — wasted only on actual
             # scene cuts, byte-identical either way (mv is discarded).
             run, box = _jit_prep_hme(meta.subsamp, w, h, self.blk_w,
-                                     self.blk_h, self.nbh, self.nbv, levels)
+                                     self.blk_h, self.nbh, self.nbv, levels,
+                                     c.effort)
             imgs, blob = run(tuple(jplanes), tuple(self._ref_pyr))
             o = blob_split(jax.device_get(blob), box)
             al = int(o.pop("al")[0])

@@ -299,12 +299,36 @@ def refine_coarse(level: int, mvf, src_img, ref_img, layout: FrameLayout,
 
 def refine_base(mvf, src_img, ref_img, layout: FrameLayout,
                 blk_w: int, blk_h: int, nbh: int, nbv: int, subsamp: int,
-                pre=None):
+                pre=None, effort: int = 0):
     """Level 0: half-pel refine + intra decision + block metrics
-    (hme.c:543-722). Returns per-block arrays shaped (nbv, nbh)."""
+    (hme.c:543-722). Returns per-block arrays shaped (nbv, nbh).
+
+    effort > 0 is a beyond-reference mode: an exhaustive ±2·effort
+    full-pel window around the 9-point/candidate best, before the
+    half-pel stage. The bitstream does not encode how MVs were found,
+    so streams stay spec-valid and reference-decodable; better
+    prediction means fewer residual bits at the same quant. effort == 0
+    reproduces the reference search decision-for-decision."""
     (gi, gj, bx, by, bw_c, bh_c, inframe, dx, dy, best, srcw,
      colmask, rowmask) = _refine_common(0, mvf, src_img, ref_img, layout,
                                         blk_w, blk_h, nbh, nbv, pre=pre)
+    if effort > 0:
+        # one padded window per block covers all (2R+1)^2 shifted views
+        # as static slices (same trick as the 9-point refine above)
+        R = 2 * effort
+        dx0, dy0 = dx, dy
+        padw = _window(ref_img, layout, 0, bx + dx0 - R, by + dy0 - R,
+                       blk_w + 2 * R, blk_h + 2 * R)
+        for oy in range(2 * R + 1):
+            for ox in range(2 * R + 1):
+                if oy == R and ox == R:
+                    continue  # centre SAD is already `best`
+                s = _masked_sad(srcw, padw[:, oy:oy + blk_h, ox:ox + blk_w],
+                                colmask, rowmask)
+                better = s < best
+                best = jnp.where(better, s, best)
+                dx = jnp.where(better, dx0 + (ox - R), dx)
+                dy = jnp.where(better, dy0 + (oy - R), dy)
     p = layout.planes[0]
     w, h = p.w, p.h
     nb = bx.shape[0]
@@ -332,27 +356,41 @@ def refine_base(mvf, src_img, ref_img, layout: FrameLayout,
 
     do_hp = (best > hpel_thresh) & inframe
     best_hp0 = best * (HP * HP) // jnp.maximum(yarea, 1)
-    # all 8 half-pel offsets in one batched variant-window fetch
-    X8 = 2 * (cx + dx)[:, None] + jnp.asarray(XH)[None, :]
-    Y8 = 2 * (cy + dy)[:, None] + jnp.asarray(YH)[None, :]
+    if effort > 0:
+        # beyond-reference: full half-pel grid ±(1+effort) around the
+        # full-pel best instead of the 8 unit neighbours (spec-valid —
+        # precision stays half-pel, only the searched set widens)
+        rh = 1 + effort
+        xh = np.array([x for y in range(-rh, rh + 1)
+                       for x in range(-rh, rh + 1) if (x, y) != (0, 0)],
+                      np.int32)
+        yh = np.array([y for y in range(-rh, rh + 1)
+                       for x in range(-rh, rh + 1) if (x, y) != (0, 0)],
+                      np.int32)
+    else:
+        xh, yh = XH, YH
+    npts = len(xh)
+    # all half-pel offsets in one batched variant-window fetch
+    X8 = 2 * (cx + dx)[:, None] + jnp.asarray(xh)[None, :]
+    Y8 = 2 * (cy + dy)[:, None] + jnp.asarray(yh)[None, :]
     refw8 = _window_variants(
         vflat, n, layout,
         (((X8 & 1) << 1) | (Y8 & 1)).reshape(-1),
         (X8 >> 1).reshape(-1), (Y8 >> 1).reshape(-1), HP, HP) \
-        .reshape(nb, 8, HP, HP)
+        .reshape(nb, npts, HP, HP)
     s8 = jnp.sum(jnp.abs(srcw14[:, None].astype(jnp.int32)
                          - refw8.astype(jnp.int32)), axis=(2, 3))
     # strict-improvement argmin against the scaled threshold (hme.c:569-576)
     run_best = best_hp0
     run_m = jnp.full((nb,), -1, jnp.int32)
-    for k in range(8):
+    for k in range(npts):
         better = s8[:, k] < run_best
         run_best = jnp.where(better, s8[:, k], run_best)
         run_m = jnp.where(better, k, run_m)
     hp_hit = do_hp & (run_m >= 0)
-    mvx = jnp.where(hp_hit, (dx << 1) + jnp.asarray(XH)[jnp.maximum(run_m, 0)],
+    mvx = jnp.where(hp_hit, (dx << 1) + jnp.asarray(xh)[jnp.maximum(run_m, 0)],
                     dx << 1)
-    mvy = jnp.where(hp_hit, (dy << 1) + jnp.asarray(YH)[jnp.maximum(run_m, 0)],
+    mvy = jnp.where(hp_hit, (dy << 1) + jnp.asarray(yh)[jnp.maximum(run_m, 0)],
                     dy << 1)
     best = jnp.where(hp_hit, run_best * yarea // (HP * HP), best)
 
@@ -489,20 +527,20 @@ def _base_tail(gi, gj, bx, by, bw_c, bh_c, inframe, best, srcw, srcw14,
 
 
 def hme(src_imgs, ref_imgs, layouts, blk_w: int, blk_h: int,
-        nbh: int, nbv: int, subsamp: int, levels: int):
+        nbh: int, nbv: int, subsamp: int, levels: int, effort: int = 0):
     """dsv_hme (hme.c:730-741): top-down refinement over the pyramid.
 
     src_imgs/ref_imgs: flat images, index 0 = full-res padded frame,
     index l = pyramid level l-1. Returns the level-0 result dict and
-    intra percentage.
-    """
+    intra percentage. effort > 0 widens the level-0 search (see
+    refine_base)."""
     mvf = None
     if "coarse" not in DEBUG_SKIP:
         for level in range(levels, 0, -1):
             mvf = refine_coarse(level, mvf, src_imgs[level], ref_imgs[level],
                                 layouts[level], blk_w, blk_h, nbh, nbv)
     out = refine_base(mvf, src_imgs[0], ref_imgs[0], layouts[0],
-                      blk_w, blk_h, nbh, nbv, subsamp)
+                      blk_w, blk_h, nbh, nbv, subsamp, effort=effort)
     out["intra_pct"] = out["nintra"] * 100 // (nbh * nbv)
     return out
 
@@ -567,7 +605,7 @@ def _lvl2d(flats, layout: FrameLayout):
 
 def hme_batch(src_flats, ref_flats, layouts, blk_w: int, blk_h: int,
               nbh: int, nbv: int, subsamp: int, levels: int,
-              interpret: bool = False):
+              interpret: bool = False, effort: int = 0):
     """Batched dsv_hme over a leading frame axis (pallas search path).
 
     src_flats/ref_flats: lists per pyramid level of (B, flat) u8 images.
@@ -617,7 +655,8 @@ def hme_batch(src_flats, ref_flats, layouts, blk_w: int, blk_h: int,
 
     def base_one(src_img, ref_img, d1, d2, b1):
         return refine_base(None, src_img, ref_img, lay, blk_w, blk_h,
-                           nbh, nbv, subsamp, pre=(d1, d2, b1))
+                           nbh, nbv, subsamp, pre=(d1, d2, b1),
+                           effort=effort)
 
     out = jax.vmap(base_one)(src_flats[0], ref_flats[0], dx, dy, best)
     out["intra_pct"] = out["nintra"] * 100 // (nbh * nbv)
