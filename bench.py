@@ -20,7 +20,13 @@ def _enable_compile_cache():
     """Persist TPU compiles across bench runs. The env var alone does not
     work here: jax reads it when first imported, which the axon
     sitecustomize does at interpreter startup."""
+    import os
+
     import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # explicit CPU smoke run: undo the sitecustomize axon override
+        # (same trick as tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       str(Path(__file__).resolve().parent / "build"
                           / "jax_cache"))
@@ -35,7 +41,10 @@ def _probe_device(timeout_s: int = 180):
     import sys
     r = subprocess.run(
         ["timeout", str(timeout_s), sys.executable, "-c",
-         "import jax; jax.devices()"], capture_output=True)
+         "import os, jax\n"
+         "if os.environ.get('JAX_PLATFORMS') == 'cpu':\n"
+         "    jax.config.update('jax_platforms', 'cpu')\n"
+         "jax.devices()"], capture_output=True)
     if r.returncode != 0:
         print(f"FATAL: TPU device init did not complete in {timeout_s}s "
               f"(tunnel down?)", flush=True)
@@ -82,7 +91,32 @@ def main():
     ref_fps = n_frames * reps / (time.perf_counter() - t0)
 
     # --- ours: GOP-parallel TPU path (compile once, then steady state)
+    import os
     encode_stream_gops(frames, meta, cfg)  # warm-up / compile
+
+    # quick self-tune over the no-recompile transfer knobs (the axon
+    # link's per-transfer behavior varies; one probe rep per combo)
+    combos = [{}, {"DSV1_PREFETCH": "3"},
+              {"DSV1_H2D_STREAMS": "4"},
+              {"DSV1_PREFETCH": "3", "DSV1_H2D_STREAMS": "4"},
+              {"DSV1_PREFETCH": "4", "DSV1_H2D_STREAMS": "8"}]
+
+    def set_env(c):
+        for k in ("DSV1_PREFETCH", "DSV1_H2D_STREAMS"):
+            os.environ.pop(k, None)
+        os.environ.update(c)
+
+    if not any(k in os.environ for c in combos for k in c):
+        best_c, best_t = {}, float("inf")
+        for c in combos:
+            set_env(c)
+            t0 = time.perf_counter()
+            encode_stream_gops(frames, meta, cfg)
+            dt = time.perf_counter() - t0
+            if dt < best_t:
+                best_t, best_c = dt, dict(c)
+        set_env(best_c)
+
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):

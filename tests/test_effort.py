@@ -63,3 +63,18 @@ def test_effort_sequential_matches_gop_parallel():
     seq = enc.encode_stream(frames)
     par = encode_stream_gops(frames, meta, _cfg(2))
     assert par == seq
+
+
+def test_effort_abr_reference_decodable(tmp_path):
+    """ABR feedback consumes the (smaller) effort frames; the stream must
+    stay spec-valid through the rate-control loop."""
+    from dsv1_tpu.constants import RATE_CONTROL_ABR
+    yuv, frames, meta = _setup()
+    cfg = EncoderConfig(quality=quality_percent(85), gop=G,
+                        rc_mode=RATE_CONTROL_ABR, bitrate=400 * 1024,
+                        stable_refresh=G - 1, effort=1)
+    enc = Encoder(meta, cfg)
+    enc.start()
+    stream = enc.encode_stream(frames)
+    dec = corpus.ref_decode(stream, tmp_path)
+    assert len(dec) == len(yuv)
