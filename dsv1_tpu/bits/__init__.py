@@ -283,12 +283,16 @@ def pack_chunk(fourcc: bytes, version: int, blk_w: int, blk_h: int,
 
     iq8/ipos/ivals: per-plane lists of [C, ...] arrays (dense int8 intra
     planes + sorted exception lists); pruns/pvals/pcnt: per-plane lists of
-    [C, G-1, K] sparse (run, value) arrays + counts. Returns
-    (bytes, new_prev_link).
+    [C, G-1, K] sparse (run, value) arrays + counts. quant: a scalar
+    (constant-quant CRF) or a [C, 2] array of per-gop (I, P) quants
+    (GOP-granular ABR). Returns (bytes, new_prev_link).
     """
     L = lib()
     fcc = np.frombuffer(fourcc, np.uint8)
     meta = np.frombuffer(bytes(meta_pkt), np.uint8)
+    quants = (np.full((C, 2), quant, np.int32) if np.isscalar(quant)
+              else np.ascontiguousarray(quant, np.int32))
+    assert quants.shape == (C, 2)
 
     def ptrs(arrs, dt):
         arrs = [np.ascontiguousarray(a, dt) for a in arrs]
@@ -327,7 +331,8 @@ def pack_chunk(fourcc: bytes, version: int, blk_w: int, blk_h: int,
             _u8p(fcc), ctypes.c_uint8(version),
             ctypes.c_int32(blk_w), ctypes.c_int32(blk_h),
             ctypes.c_int32(nbh), ctypes.c_int32(nbv),
-            ctypes.c_int32(quant), ctypes.c_int32(qp_bits),
+            quants.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int32(qp_bits),
             _u8p(meta), ctypes.c_int32(meta.size),
             ctypes.c_int32(C), ctypes.c_int32(G), ctypes.c_int64(g0),
             ctypes.c_int64(ngops), ctypes.c_int64(nframes),

@@ -85,6 +85,10 @@ def enc_params():
         Param("effort", 0, 0, 3, None,
               "motion search effort beyond the reference (exhaustive "
               "+-2*effort full-pel window). 0 = reference parity"),
+        Param("gopabr", 0, 0, 1, None,
+              "ABR on the GOP-parallel device path (rate feedback at "
+              "GOP granularity; faster, not byte-identical to the "
+              "reference's per-frame ABR). 0 = default"),
     ]
 
 
@@ -204,9 +208,15 @@ def encode_main(argv) -> int:
     maxframe = frno + nfr if nfr > 0 else -1
     nencoded = 0
     # effectively-infinite GOPs (reference DSV_GOP_INF) run sequentially:
-    # the device path compiles a scan of length gop-1
-    use_par = (bool(_get(params, "gopar"))
-               and rc_mode == C.RATE_CONTROL_CRF and gop <= 4096)
+    # the device path compiles a scan of length gop-1. ABR stays on the
+    # reference-exact sequential path unless -gopabr opts into the
+    # GOP-granular parallel rate control (spec-valid, faster, different
+    # bytes than per-frame ABR).
+    use_par = (bool(_get(params, "gopar")) and 0 < gop <= 4096
+               and (rc_mode == C.RATE_CONTROL_CRF
+                    or bool(_get(params, "gopabr"))))
+    use_par |= (bool(_get(params, "gopar")) and gop == 0
+                and rc_mode == C.RATE_CONTROL_CRF)
     import contextlib
     prof = contextlib.nullcontext()
     if opts.get("prof"):

@@ -329,6 +329,85 @@ def pack_picture(fnum: int, blk_w: int, blk_h: int, stable: np.ndarray,
         quant, MAX_QP_BITS, planes)
 
 
+def quality2quant_abr(st, cfg, meta, is_p: bool, forced_intra: bool) -> int:
+    """ABR branch of quality2quant (dsv_encoder.c:70-168) over mutable
+    rate-control state `st` (attrs: rc_quant, bpf_avg, avg_P_frame_q,
+    last_P_frame_over, back_into_range). Returns the chosen quality and
+    updates st.rc_quant. Shared by the sequential per-frame encoder and
+    the GOP-granular parallel ABR (parallel/gop.py)."""
+    q = st.rc_quant
+    fps = (meta.fps_num << 5) // meta.fps_den or 1
+    needed_bpf = ((cfg.bitrate << 5) // fps) >> 3
+    bpf = st.bpf_avg or needed_bpf
+    dir_ = -1 if (bpf - needed_bpf) > 0 else 1
+    delta = (abs(bpf - needed_bpf) << 9) // needed_bpf
+    if dir_ == 1:
+        delta *= 2
+    nudged = False
+    if cfg.rc_high_motion_nudge:
+        if is_p:
+            if st.last_P_frame_over:
+                delta = (delta + 1) * 2
+                dir_ = -1
+                nudged = True
+            elif st.back_into_range:
+                delta = (delta + 1) * 2
+                dir_ = 1
+                nudged = True
+        elif st.back_into_range:
+            delta = (delta + 1) * 2
+            dir_ = 1
+            nudged = True
+    delta = (q * delta) >> 9
+    cfg.max_q_step = max(1, min(cfg.max_q_step, MAX_QUALITY))
+    cap = cfg.max_q_step * 16 if nudged else cfg.max_q_step
+    delta = min(delta, cap)
+    q += delta * dir_
+    low_p = st.avg_P_frame_q - quality_percent(4)
+    low_p = max(cfg.min_quality, min(low_p, cfg.max_quality))
+    minq = low_p if is_p else cfg.min_I_frame_quality
+    if forced_intra:
+        if q < quality_percent(60):
+            q += quality_percent(15)
+        elif q < quality_percent(70):
+            q += quality_percent(8)
+        elif q < quality_percent(75):
+            q += quality_percent(3)
+        q = max(0, min(q, cfg.max_quality - quality_percent(5)))
+    q = max(minq, min(q, cfg.max_quality))
+    q = max(0, min(q, MAX_QUALITY))
+    st.rc_quant = q
+    return q
+
+
+def rc_stats_update_abr(st, cfg, meta, is_p: bool, used_quality: int,
+                        pic_len: int):
+    """ABR statistics update (dsv_enc, dsv_encoder.c:816-848) over
+    mutable state `st` (attrs: bpf_total, bpf_reset, bpf_avg,
+    total_P_frame_q, avg_P_frame_q, last_P_frame_over,
+    back_into_range)."""
+    st.bpf_total += pic_len
+    st.bpf_reset += 1
+    if is_p:
+        st.total_P_frame_q += used_quality
+        st.avg_P_frame_q = st.total_P_frame_q // st.bpf_reset
+        fps = (meta.fps_num << 5) // meta.fps_den or 1
+        needed_bpf = ((cfg.bitrate << 5) // fps) >> 3
+        went_under = pic_len < (needed_bpf * 3 // 4)
+        needed_bpf = needed_bpf * 7 // 8
+        went_over = pic_len > needed_bpf
+        st.back_into_range = int(st.last_P_frame_over and went_under)
+        st.last_P_frame_over = int(went_over)
+    else:
+        st.last_P_frame_over = 0
+        st.back_into_range = 0
+    st.bpf_avg = st.bpf_total // st.bpf_reset
+    if st.bpf_reset >= BPF_RESET:
+        st.bpf_total = st.bpf_avg
+        st.total_P_frame_q //= st.bpf_reset
+        st.bpf_reset = 1
+
+
 class Encoder:
     """Mirrors the reference encoder API (dsv_encoder.h:112-121)."""
 
@@ -379,48 +458,7 @@ class Encoder:
         """quality2quant (dsv_encoder.c:70-168)."""
         c = self.cfg
         if c.rc_mode != RATE_CONTROL_CRF:
-            q = self.rc_quant
-            fps = (self.meta.fps_num << 5) // self.meta.fps_den or 1
-            needed_bpf = ((c.bitrate << 5) // fps) >> 3
-            bpf = self.bpf_avg or needed_bpf
-            dir_ = -1 if (bpf - needed_bpf) > 0 else 1
-            delta = (abs(bpf - needed_bpf) << 9) // needed_bpf
-            if dir_ == 1:
-                delta *= 2
-            nudged = False
-            if c.rc_high_motion_nudge:
-                if is_p:
-                    if self.last_P_frame_over:
-                        delta = (delta + 1) * 2
-                        dir_ = -1
-                        nudged = True
-                    elif self.back_into_range:
-                        delta = (delta + 1) * 2
-                        dir_ = 1
-                        nudged = True
-                elif self.back_into_range:
-                    delta = (delta + 1) * 2
-                    dir_ = 1
-                    nudged = True
-            delta = (q * delta) >> 9
-            c.max_q_step = max(1, min(c.max_q_step, MAX_QUALITY))
-            cap = c.max_q_step * 16 if nudged else c.max_q_step
-            delta = min(delta, cap)
-            q += delta * dir_
-            low_p = self.avg_P_frame_q - quality_percent(4)
-            low_p = max(c.min_quality, min(low_p, c.max_quality))
-            minq = low_p if is_p else c.min_I_frame_quality
-            if forced_intra:
-                if q < quality_percent(60):
-                    q += quality_percent(15)
-                elif q < quality_percent(70):
-                    q += quality_percent(8)
-                elif q < quality_percent(75):
-                    q += quality_percent(3)
-                q = max(0, min(q, c.max_quality - quality_percent(5)))
-            q = max(minq, min(q, c.max_quality))
-            q = max(0, min(q, MAX_QUALITY))
-            self.rc_quant = q
+            q = quality2quant_abr(self, c, self.meta, is_p, forced_intra)
         else:
             q = c.quality
             self.rc_quant = q
@@ -603,29 +641,10 @@ class Encoder:
 
     def _rc_stats_update(self, is_p: bool, pic_len: int):
         """ABR statistics (dsv_enc, dsv_encoder.c:816-848)."""
-        c = self.cfg
-        if c.rc_mode == RATE_CONTROL_CRF:
+        if self.cfg.rc_mode == RATE_CONTROL_CRF:
             return
-        self.bpf_total += pic_len
-        self.bpf_reset += 1
-        if is_p:
-            self.total_P_frame_q += self.rc_quant
-            self.avg_P_frame_q = self.total_P_frame_q // self.bpf_reset
-            fps = (self.meta.fps_num << 5) // self.meta.fps_den or 1
-            needed_bpf = ((c.bitrate << 5) // fps) >> 3
-            went_under = pic_len < (needed_bpf * 3 // 4)
-            needed_bpf = needed_bpf * 7 // 8
-            went_over = pic_len > needed_bpf
-            self.back_into_range = int(self.last_P_frame_over and went_under)
-            self.last_P_frame_over = int(went_over)
-        else:
-            self.last_P_frame_over = 0
-            self.back_into_range = 0
-        self.bpf_avg = self.bpf_total // self.bpf_reset
-        if self.bpf_reset >= BPF_RESET:
-            self.bpf_total = self.bpf_avg
-            self.total_P_frame_q //= self.bpf_reset
-            self.bpf_reset = 1
+        rc_stats_update_abr(self, self.cfg, self.meta, is_p, self.rc_quant,
+                            pic_len)
 
     def end_of_stream(self) -> bytearray:
         """dsv_enc_end_of_stream (dsv_encoder.c:766-778)."""

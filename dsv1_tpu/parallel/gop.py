@@ -171,7 +171,6 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
     layouts = list(_pyr_layouts(subsamp, w, h, levels))
     prep = make_prep(subsamp, w, h, levels)
     core = make_encode_core_traced(subsamp, w, h, blk_w, blk_h, nbh, nbv)
-    quant = crf_quant(quality)
     ll_sizes = [int(t.seg_bounds[1])
                 for t in coef_geometry(subsamp, w, h, nbh, nbv)[2]]
 
@@ -213,9 +212,11 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
     compact_p_tagged = ("qcomp_p", lambda qvals: tuple(
         _compact_sparse_p(qv) for qv in qvals))
 
-    def run_batch(packed, prev_al0, stab0, refresh0):
+    def run_batch(packed, prev_al0, stab0, refresh0, quants):
         """Batched over a leading GOP axis C: packed is (C, G, fsz) u8
-        planar frames (one coalesced H2D transfer per chunk).
+        planar frames (one coalesced H2D transfer per chunk); quants is
+        (C, 2) int32 [I-frame quant, P-frame quant] per GOP — constant
+        in CRF, per-GOP values under GOP-granular ABR.
 
         The motion path (prep/pyramids, HME, SCD, forced-intra) depends
         only on consecutive *input* frames, never on the recon chain —
@@ -271,29 +272,29 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
                                 <= scd_delta)
 
         # GOP start: statically intra — XLA folds away its motion path
-        q = jnp.int32(quant)
+        qi, qp = quants[:, 0], quants[:, 1]
         imgs0 = imgs_all[0].reshape(C, G, -1)
         zmv = jax.tree_util.tree_map(
             lambda a: jnp.broadcast_to(a, (C,) + a.shape), zero_mv())
 
-        def frame_i(st, rc, im, mv1):
-            return encode_frame(jnp.bool_(False), q,
+        def frame_i(q1, st, rc, im, mv1):
+            return encode_frame(jnp.bool_(False), q1,
                                 fr.alloc_image(layouts[0]), st, rc, im, mv1,
                                 compact_i_tagged)
 
         recon, stability, refresh_ctr, out_i = jax.vmap(frame_i)(
-            stab0, refresh0, imgs0[:, 0], zmv)
+            qi, stab0, refresh0, imgs0[:, 0], zmv)
 
         if G > 1:
             def step(carry, x):
                 ref_recon, stability, refresh_ctr = carry
 
-                def frame_p(rr, st, rc, im, mv1, hr):
-                    return encode_frame(hr, q, rr, st, rc, im, mv1,
+                def frame_p(q1, rr, st, rc, im, mv1, hr):
+                    return encode_frame(hr, q1, rr, st, rc, im, mv1,
                                         compact_p_tagged)
 
                 recon, stability, refresh_ctr, out = jax.vmap(frame_p)(
-                    ref_recon, stability, refresh_ctr, *x)
+                    qp, ref_recon, stability, refresh_ctr, *x)
                 return (recon, stability, refresh_ctr), out
 
             xs_mv = {k: jnp.moveaxis(mv_all[k], 0, 1) for k in
@@ -317,8 +318,8 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
     # geometry, captured at trace).
     layout_box = {}
 
-    def run_blobs(packed, prev_al0, stab0, refresh0):
-        tree = run_batch(packed, prev_al0, stab0, refresh0)
+    def run_blobs(packed, prev_al0, stab0, refresh0, quants):
+        tree = run_batch(packed, prev_al0, stab0, refresh0, quants)
         return _blob_concat(tree, packed.shape[0], layout_box)
 
     def unpack(blob):
@@ -327,8 +328,9 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
 
     def run(packed, prev_al0, stab0, refresh0):
         """Single-GOP convenience wrapper (driver compile check)."""
+        q1 = jnp.full((1, 2), crf_quant(quality), jnp.int32)
         return run_blobs(packed[None], prev_al0[None], stab0[None],
-                         refresh0[None])
+                         refresh0[None], q1)
 
     run.batch = run_blobs
     run.unpack = unpack
@@ -387,24 +389,29 @@ def _env_int(name: str, default: int) -> int:
         return default
 
 
-def _pipelined(reader: "_ChunkReader", k: int, dispatch):
+def _pipelined(reader: "_ChunkReader", k: int, dispatch, depth_fn=None):
     """Prefetch pipeline: keep `DSV1_PREFETCH` (default 2) chunks
     dispatched ahead of the one being host-packed, so the tunnel's H2D
     upload + device compute + D2H of later chunks overlap host packing
     of the current one. Dispatch is fully async (jit call + D2H enqueue
     return immediately); the only blocking point is the consumer's
-    device_get. Yields (chunk, dispatched) in order."""
-    depth = max(1, _env_int("DSV1_PREFETCH", 2))
+    device_get. Yields (chunk, dispatched) in order.
+
+    depth_fn overrides the in-flight depth per refill — consulted after
+    each yield, so a rate controller can hold the pipeline shallow until
+    its first byte-count feedback exists (GOP-granular ABR)."""
+    get_depth = depth_fn or (lambda: _env_int("DSV1_PREFETCH", 2))
     inflight = []
-    while len(inflight) < depth:
-        nxt = reader.next_chunk(k)
-        if nxt is None:
-            break
-        inflight.append((nxt, dispatch(nxt)))
-    while inflight:
-        nxt = reader.next_chunk(k)
-        if nxt is not None:
+    done = False
+    while True:
+        while not done and len(inflight) < max(1, get_depth()):
+            nxt = reader.next_chunk(k)
+            if nxt is None:
+                done = True
+                break
             inflight.append((nxt, dispatch(nxt)))
+        if not inflight:
+            return
         yield inflight.pop(0)
 
 
@@ -482,6 +489,86 @@ class _ChunkReader:
         return _FrameChunk(packed, start, n_real)
 
 
+class _AbrState:
+    """GOP-granular ABR controller for the parallel encoder.
+
+    The reference's per-frame law (dsv_encoder.c:70-168) moves quality a
+    bounded step per *observation*; at GOP granularity that converges far
+    too slowly for the codec's steep rate-quality curve (measured: a 10%
+    quality drop can shrink P frames 30x). Instead this controller fits
+    the curve directly: each completed GOP contributes a measurement
+    (quality -> ln bytes/frame) and the next GOP's quality comes from
+    secant interpolation toward the target bytes/frame, with a damped
+    default slope before two points exist. Spec-valid by construction;
+    NOT byte-identical to the sequential per-frame ABR (use
+    models.encoder.Encoder for reference-exact ABR bytes)."""
+
+    # default d(ln bytes)/d(quality) before two measurements exist —
+    # deliberately steep (small moves) to avoid first-step overshoot
+    _SLOPE0 = 0.008
+    _MAX_STEP = 150  # per-GOP quality move bound (scale 0..2047)
+    _DAMP = 0.7      # fraction of the model step to take: decisions are
+    #                  made 1-2 chunks ahead of feedback (pipeline), so
+    #                  undamped steps zigzag on stale measurements
+
+    def __init__(self, cfg: EncoderConfig, meta: Metadata):
+        self.cfg, self.meta = cfg, meta
+        self.q = max(0, min(cfg.quality, MAX_QUALITY))
+        fps = (meta.fps_num << 5) // meta.fps_den or 1
+        self.target_bpf = max(1, ((cfg.bitrate << 5) // fps) >> 3)
+        self.pts: list = []  # (quality, ln mean-bytes-per-frame)
+
+    def _clamp(self, q: int) -> int:
+        q = max(self.cfg.min_quality, min(q, self.cfg.max_quality))
+        return max(0, min(q, MAX_QUALITY))
+
+    def _next_q(self) -> int:
+        import math
+        lt = math.log(self.target_bpf)
+        if not self.pts:
+            return self.q
+        q1, lb1 = self.pts[-1]
+        # slope from a least-squares fit over the retained points
+        # (up to 3) — smoother than a raw secant on noisy measurements
+        qs = [p[0] for p in self.pts]
+        lbs = [p[1] for p in self.pts]
+        n = len(qs)
+        slope = self._SLOPE0
+        if n >= 2:
+            mq = sum(qs) / n
+            ml = sum(lbs) / n
+            den = sum((a - mq) ** 2 for a in qs)
+            if den > 0:
+                est = sum((a - mq) * (b - ml)
+                          for a, b in zip(qs, lbs)) / den
+                if est > 1e-4:  # require the physical monotone direction
+                    slope = est
+        step = self._DAMP * (lt - lb1) / slope
+        step = max(-self._MAX_STEP, min(self._MAX_STEP, step))
+        return self._clamp(int(q1 + step))
+
+    def gop_quants(self, n_gops: int, chunk: int, G: int):
+        """(chunk, 2) [I, P] quants + qualities for the next n_gops GOPs
+        (padded rows repeat the last real GOP; they are dropped at pack
+        time). GOPs within one chunk share the same quality — no new
+        measurements arrive between them. The I frame gets the
+        min_I_frame_quality floor (dsv_encoder.c:133)."""
+        self.q = self._next_q()
+        quals = np.zeros((chunk, 2), np.int32)
+        quals[:, 0] = max(self.q, self.cfg.min_I_frame_quality)
+        quals[:, 1] = self.q
+        quants = (MAX_QUALITY
+                  - (MAX_QUALITY - 5) * quals // MAX_QUALITY).astype(np.int32)
+        return quants, quals
+
+    def gop_done(self, quality: int, gop_bytes: int, n_frames: int):
+        """Feed one completed GOP's measured size."""
+        import math
+        lb = math.log(max(gop_bytes, 1) / max(n_frames, 1))
+        self.pts.append((int(quality), lb))
+        del self.pts[:-3]
+
+
 def gop_mesh(devices=None, axis: str = "gop") -> Mesh:
     """1-D device mesh over the GOP axis (SURVEY.md §5: GOP axis -> data
     parallelism; per-GOP recon chains stay device-local)."""
@@ -502,7 +589,7 @@ def _jit_batched(subsamp, w, h, G, quality, do_scd, scd_delta, intra_thresh,
     # pallas grid / scan with zero collectives on the frame path
     mesh = _MESHES[mesh_key]
     p = PartitionSpec("gop")
-    smapped = jax.shard_map(run.batch, mesh=mesh, in_specs=(p,) * 4,
+    smapped = jax.shard_map(run.batch, mesh=mesh, in_specs=(p,) * 5,
                             out_specs=p, check_vma=False)
     return jax.jit(smapped), run.unpack
 
@@ -518,8 +605,11 @@ def encode_stream_gops(frames, meta: Metadata,
                        _return_state: bool = False):
     """Encode frames into a full .dsv stream, GOPs in parallel.
 
-    frames: sequence of (y, u, v) uint8 planar arrays. CRF only (ABR's
-    byte-count feedback is inherently sequential; use models.encoder).
+    frames: sequence of (y, u, v) uint8 planar arrays. CRF is
+    byte-identical to the sequential encoder. ABR runs with GOP-granular
+    rate feedback (_AbrState): spec-valid and on-target, but not
+    byte-identical to the per-frame sequential ABR — use
+    models.encoder.Encoder when reference-exact ABR bytes matter.
 
     The underscore kwargs serve the multi-host shard path
     (parallel/multihost.py): a global frame-number offset, EOS
@@ -527,8 +617,10 @@ def encode_stream_gops(frames, meta: Metadata,
     return for O(1) link fixup at mux time.
     """
     cfg = cfg or EncoderConfig()
-    if cfg.rc_mode != RATE_CONTROL_CRF:
-        raise ValueError("GOP-parallel encode supports CRF only")
+    abr = cfg.rc_mode != RATE_CONTROL_CRF
+    if abr and cfg.gop == GOP_INTRA:
+        raise ValueError("GOP-parallel ABR needs gop > 0; "
+                         "use models.encoder.Encoder")
     if cfg.gop != GOP_INTRA and cfg.gop > 4096:
         # a GOP is one device-resident scan of length gop-1; effectively
         # infinite GOPs (DSV_GOP_INF = INT_MAX) belong on the sequential
@@ -639,6 +731,8 @@ def encode_stream_gops(frames, meta: Metadata,
     per_dev = gops_per_device or _env_int("DSV1_GOPS_PER_DEVICE", 0) or max(
         1, min(4, (4 * 352 * 288 * 12) // max(G * w * h, 1),
                ngops_known or (1 << 30)))
+    if abr and not gops_per_device:
+        per_dev = 1  # rate feedback per GOP beats batch width
     if mesh is not None:
         nd = mesh.devices.size
         chunk = per_dev * nd
@@ -666,10 +760,25 @@ def encode_stream_gops(frames, meta: Metadata,
                               cfg.scene_change_delta, cfg.intra_pct_thresh,
                               cfg.stable_refresh, cfg.pyramid_levels, key,
                               effort=cfg.effort)
+    if abr:
+        rc = _AbrState(cfg, meta)
+        chunk_q: dict = {}
+    else:
+        quants_dev = jax.device_put(np.full((chunk, 2), quant, np.int32),
+                                    in_sharding)
 
     def dispatch(c, f=None):
+        if abr:
+            # quants assigned once per chunk at first dispatch (the
+            # dense-overflow redo reuses them), in stream order
+            if c.start not in chunk_q:
+                chunk_q[c.start] = rc.gop_quants(div_round(c.n_real, G),
+                                                 chunk, G)
+            quants = chunk_q[c.start][0]
+        else:
+            quants = quants_dev
         (pk,) = _stage_h2d([c.packed.reshape(chunk, G, -1)], in_sharding)
-        blob = (f or fn)(pk, prev_al, stab0, refresh0)
+        blob = (f or fn)(pk, prev_al, stab0, refresh0, quants)
         # enqueue D2H right behind the compute so the transfer of
         # chunk k overlaps host packing of chunk k-1
         blob.copy_to_host_async()
@@ -677,60 +786,116 @@ def encode_stream_gops(frames, meta: Metadata,
 
     meta_pkt = bytes(encode_metadata_packet(meta))
 
-    for ck, blob in _pipelined(reader, chunk * G, dispatch):
+    # ABR: hold the pipeline to depth 1 until the rate model has
+    # measurements, then open it up (bounded start-of-stream overshoot)
+    depth_fn = ((lambda: 1 if len(rc.pts) < 2
+                 else _env_int("DSV1_PREFETCH", 2)) if abr else None)
+    calibrated = not abr
+    for ck, blob in _pipelined(reader, chunk * G, dispatch, depth_fn):
         s = ck.start // G            # chunk's first gop index
         N_cut = ck.start + ck.n_real  # global frame cutoff for this chunk
         ngops = s + div_round(ck.n_real, G)
-        (out_i, outs_p), _ = unpack(jax.device_get(blob))
-        if "qcomp_i" in out_i:
-            overflow = any(np.any(out_i["qcomp_i"][c][3] > 0)
-                           for c in range(3))
-            if outs_p is not None:
-                overflow |= any(np.any(outs_p["qcomp_p"][c][3])
-                                for c in range(3))
-            if overflow:
-                # rare (dense P planes / huge LL): redo batch densely
-                full, unpack_f = _jit_batched(
-                    subsamp, w, h, G, cfg.quality, cfg.do_scd,
-                    cfg.scene_change_delta, cfg.intra_pct_thresh,
-                    cfg.stable_refresh, cfg.pyramid_levels, key, 0,
-                    effort=cfg.effort)
-                (out_i, outs_p), _ = unpack_f(
-                    jax.device_get(dispatch(ck, full)))
+
+        def materialize(b):
+            (oi, op), _ = unpack(jax.device_get(b))
+            if "qcomp_i" in oi:
+                overflow = any(np.any(oi["qcomp_i"][c][3] > 0)
+                               for c in range(3))
+                if op is not None:
+                    overflow |= any(np.any(op["qcomp_p"][c][3])
+                                    for c in range(3))
+                if overflow:
+                    # rare (dense P planes / huge LL): redo batch densely
+                    full, unpack_f = _jit_batched(
+                        subsamp, w, h, G, cfg.quality, cfg.do_scd,
+                        cfg.scene_change_delta, cfg.intra_pct_thresh,
+                        cfg.stable_refresh, cfg.pyramid_levels, key, 0,
+                        effort=cfg.effort)
+                    (oi, op), _ = unpack_f(
+                        jax.device_get(dispatch(ck, full)))
+            return oi, op
+
+        out_i, outs_p = materialize(blob)
 
         if "qcomp_i" in out_i:
             # fast path: one native call assembles the whole chunk's
             # packets (metadata re-emit, pictures, link chain)
             from .. import bits
-            if outs_p is not None:
-                pr = [outs_p["qcomp_p"][c][0] for c in range(3)]
-                pv = [outs_p["qcomp_p"][c][1] for c in range(3)]
-                pc = [outs_p["qcomp_p"][c][2] for c in range(3)]
-                pdc, phr = outs_p["dc"], outs_p["has_ref"]
-                pmo, pmx = outs_p["mode"], outs_p["mvx"]
-                pmy, psu = outs_p["mvy"], outs_p["submask"]
-                pst = outs_p["stable"]
-            else:
-                z16 = np.zeros((chunk, 0, 1), np.uint16)
-                pr = [z16] * 3
-                pv = [z16.view(np.int16)] * 3
-                pc = [np.zeros((chunk, 0), np.int32)] * 3
-                pdc = np.zeros((chunk, 0, 3), np.int32)
-                phr = np.zeros((chunk, 0), np.uint8)
-                pmo = psu = np.zeros((chunk, 0, 1), np.uint8)
-                pmx = pmy = np.zeros((chunk, 0, 1), np.int16)
-                pst = np.zeros((chunk, 0, 1), np.uint8)
-            pkt, prev_link = bits.pack_chunk(
-                FOURCC, VERSION_MINOR, blk_w, blk_h, nbh, nbv, quant,
-                MAX_QP_BITS, meta_pkt, chunk, G, s, ngops, N_cut,
-                _fnum_base, 1,
-                [out_i["qcomp_i"][c][0] for c in range(3)],
-                [out_i["qcomp_i"][c][1] for c in range(3)],
-                [out_i["qcomp_i"][c][2] for c in range(3)],
-                out_i["dc"], out_i["stable"],
-                pr, pv, pc, pdc, phr, pmo, pmx, pmy, psu, pst, prev_link)
-            out.extend(pkt)
-            continue
+
+            def pack_fast(quants_arg, pl):
+                if outs_p is not None:
+                    pr = [outs_p["qcomp_p"][c][0] for c in range(3)]
+                    pv = [outs_p["qcomp_p"][c][1] for c in range(3)]
+                    pc = [outs_p["qcomp_p"][c][2] for c in range(3)]
+                    pdc, phr = outs_p["dc"], outs_p["has_ref"]
+                    pmo, pmx = outs_p["mode"], outs_p["mvx"]
+                    pmy, psu = outs_p["mvy"], outs_p["submask"]
+                    pst = outs_p["stable"]
+                else:
+                    z16 = np.zeros((chunk, 0, 1), np.uint16)
+                    pr = [z16] * 3
+                    pv = [z16.view(np.int16)] * 3
+                    pc = [np.zeros((chunk, 0), np.int32)] * 3
+                    pdc = np.zeros((chunk, 0, 3), np.int32)
+                    phr = np.zeros((chunk, 0), np.uint8)
+                    pmo = psu = np.zeros((chunk, 0, 1), np.uint8)
+                    pmx = pmy = np.zeros((chunk, 0, 1), np.int16)
+                    pst = np.zeros((chunk, 0, 1), np.uint8)
+                return bits.pack_chunk(
+                    FOURCC, VERSION_MINOR, blk_w, blk_h, nbh, nbv,
+                    quants_arg, MAX_QP_BITS, meta_pkt, chunk, G, s, ngops,
+                    N_cut, _fnum_base, 1,
+                    [out_i["qcomp_i"][c][0] for c in range(3)],
+                    [out_i["qcomp_i"][c][1] for c in range(3)],
+                    [out_i["qcomp_i"][c][2] for c in range(3)],
+                    out_i["dc"], out_i["stable"],
+                    pr, pv, pc, pdc, phr, pmo, pmx, pmy, psu, pst, pl)
+
+            def feed_stats(pkt_bytes, quals):
+                # per-picture sizes from the link-offset chain
+                # (big-endian u32 at byte 10 of each picture packet),
+                # aggregated per GOP for the rate model
+                off = 0
+                for gl in range(chunk):
+                    if s + gl >= ngops:
+                        break
+                    off += len(meta_pkt)
+                    acc = nf_g = 0
+                    for i in range(G):
+                        if (s + gl) * G + i >= N_cut:
+                            break
+                        plen = int.from_bytes(
+                            pkt_bytes[off + 10:off + 14], "big")
+                        acc += plen
+                        nf_g += 1
+                        off += plen
+                    rc.gop_done(int(quals[gl, 1]), acc, nf_g)
+
+            if not calibrated:
+                # two-pass stream start: the controller has no rate
+                # measurement yet, so the first chunk's real size is
+                # measured with a trial pack (one (quality, bytes)
+                # point), the start quality is corrected, and the chunk
+                # re-encodes; only the corrected encode reaches the
+                # stream (its measurement is the model's second point).
+                calibrated = True
+                qn_t, ql_t = chunk_q.pop(ck.start)
+                trial, _ = pack_fast(qn_t, prev_link)
+                feed_stats(trial, ql_t)
+                chunk_q[ck.start] = rc.gop_quants(div_round(ck.n_real, G),
+                                                  chunk, G)
+                out_i, outs_p = materialize(dispatch(ck))
+
+            if "qcomp_i" in out_i:
+                pkt, prev_link = pack_fast(
+                    chunk_q[ck.start][0] if abr else quant, prev_link)
+                out.extend(pkt)
+                if abr:
+                    _, quals = chunk_q.pop(ck.start)
+                    feed_stats(pkt, quals)
+                continue
+            # (re-encode fell back to dense qvals: use the python
+            # packer below like any dense chunk)
 
         def frame_out(i):
             return out_i if i == 0 else outs_p
@@ -756,11 +921,13 @@ def encode_stream_gops(frames, meta: Metadata,
             return (runs[gl, i - 1][:n_].astype(np.uint32),
                     vals[gl, i - 1][:n_].astype(np.int32))
 
+        quals_f = chunk_q.pop(ck.start) if abr else None
         for gl in range(chunk):
             g = s + gl
             if g >= ngops:
                 break
             out.extend(encode_metadata_packet(meta))
+            acc = nf_g = 0
             for i in range(G):
                 fnum = g * G + i
                 if fnum >= N_cut:
@@ -769,10 +936,17 @@ def encode_stream_gops(frames, meta: Metadata,
                 mv = {k: field(gl, i, k) for k in
                       ("mode", "mvx", "mvy", "submask")} if has_ref else None
                 qv = [plane_q(gl, i, c) for c in range(3)]
-                emit_pic(pack_picture(_fnum_base + fnum, blk_w, blk_h,
-                                      field(gl, i, "stable"), has_ref, True,
-                                      mv, quant, qv, field(gl, i, "dc"),
-                                      nbh, nbv))
+                q_use = (int(quals_f[0][gl, 1 if i else 0]) if abr
+                         else quant)
+                pic = pack_picture(_fnum_base + fnum, blk_w, blk_h,
+                                   field(gl, i, "stable"), has_ref, True,
+                                   mv, q_use, qv, field(gl, i, "dc"),
+                                   nbh, nbv)
+                emit_pic(pic)
+                acc += len(pic)
+                nf_g += 1
+            if abr:
+                rc.gop_done(int(quals_f[1][gl, 1]), acc, nf_g)
     if _emit_eos:
         out.extend(encode_eos_packet(prev_link))
     return (bytes(out), prev_link) if _return_state else bytes(out)

@@ -84,12 +84,14 @@ def encode_breakdown():
     pal = np.zeros(chunk, np.int32)
     stab = np.zeros((chunk, nbh*nbv, 2), np.int32)
     ref = np.zeros(chunk, np.int32)
-    blob = fn(packed, pal, stab, ref)
+    from dsv1_tpu.parallel.gop import crf_quant
+    qn = np.full((chunk, 2), crf_quant(cfg.quality), np.int32)
+    blob = fn(packed, pal, stab, ref, qn)
     jax.block_until_ready(blob)
     R = 6
     t0 = time.perf_counter()
     for _ in range(R):
-        blob = fn(packed, pal, stab, ref)
+        blob = fn(packed, pal, stab, ref, qn)
         jax.block_until_ready(blob)
     t_disp = (time.perf_counter() - t0) / R
     t0 = time.perf_counter()

@@ -85,6 +85,17 @@ def main():
         if eff == 0:
             assert stream == ref, "parity ABR stream must be byte-identical"
 
+    # GOP-parallel ABR (secant rate model, GOPs encode in parallel)
+    from dsv1_tpu.parallel import encode_stream_gops
+    cfg = EncoderConfig(quality=q, gop=G, rc_mode=RATE_CONTROL_ABR,
+                        bitrate=kbps * 1024, stable_refresh=G - 1,
+                        max_quality=quality_percent(100))
+    t0 = time.perf_counter()
+    stream = encode_stream_gops(frames, meta, cfg)
+    dt = time.perf_counter() - t0
+    report("ours_abr1100_gopar", stream)
+    print(f"# encode {nf / dt:.1f} fps", flush=True)
+
 
 if __name__ == "__main__":
     main()
