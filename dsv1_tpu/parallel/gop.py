@@ -515,7 +515,11 @@ class _AbrState:
         self.cfg, self.meta = cfg, meta
         self.q = max(0, min(cfg.quality, MAX_QUALITY))
         fps = (meta.fps_num << 5) // meta.fps_den or 1
-        self.target_bpf = max(1, ((cfg.bitrate << 5) // fps) >> 3)
+        # aim at 7/8 of nominal like the reference's over-target
+        # hysteresis (dsv_encoder.c:833): the start transient and model
+        # noise then keep short clips under, not over, the stated rate
+        self.target_bpf = max(1, (((cfg.bitrate << 5) // fps) >> 3)
+                              * 7 // 8)
         self.pts: list = []  # (quality, ln mean-bytes-per-frame)
 
     def _clamp(self, q: int) -> int:
