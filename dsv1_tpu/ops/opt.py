@@ -55,6 +55,43 @@ def blob_split(blob, layout_box):
     return jax.tree_util.tree_unflatten(layout_box["treedef"], leaves)
 
 
+def blob_concat_np(arrs):
+    """Host mirror of blob_concat for the H2D direction: batched numpy
+    arrays (C, ...) -> ((C, nbytes) uint8, specs). One coalesced upload
+    instead of one per array (the tunnel link charges a fixed
+    per-transfer cost); blob_split_device re-types on device."""
+    specs, parts = [], []
+    for a in arrs:
+        a = np.ascontiguousarray(a)
+        specs.append((a.dtype.str, a.shape))
+        parts.append(a.reshape(a.shape[0], -1).view(np.uint8))
+    return np.concatenate(parts, axis=1), tuple(specs)
+
+
+def blob_split_device(blob, specs):
+    """Device side: (C, nbytes) uint8 -> typed arrays per specs (the
+    trace-time static layout from blob_concat_np). Byte order matches
+    numpy's native little-endian view (same convention as blob_concat's
+    D2H direction, golden-tested)."""
+    C = blob.shape[0]
+    out = []
+    off = 0
+    for dstr, shape in specs:
+        dt = np.dtype(dstr)
+        n = int(np.prod(shape[1:], dtype=np.int64))
+        seg = blob[:, off:off + n * dt.itemsize]
+        off += n * dt.itemsize
+        if dt == np.bool_:
+            a = (seg != 0).reshape((C,) + shape[1:])
+        elif dt.itemsize == 1:
+            a = lax.bitcast_convert_type(seg, dt).reshape((C,) + shape[1:])
+        else:
+            a = lax.bitcast_convert_type(
+                seg.reshape(C, n, dt.itemsize), dt).reshape((C,) + shape[1:])
+        out.append(a)
+    return out
+
+
 def runtime(*xs):
     """Mark index arrays as runtime values to defeat constant folding.
 

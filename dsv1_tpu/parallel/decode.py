@@ -85,14 +85,27 @@ def build_gop_decoder(subsamp: int, w: int, h: int, L: int,
 
 
 @lru_cache(maxsize=8)
-def _jit_batched_dec(subsamp, w, h, L, blk_w, blk_h, mesh_key):
+def _jit_batched_dec(subsamp, w, h, L, blk_w, blk_h, mesh_key, in_specs):
+    """Blob-coalesced batched decoder: ONE (chunk, nbytes) u8 upload per
+    chunk (split/retyped on device, ops/opt.py:blob_split_device) and
+    ONE byte-blob fetch of the decoded planes (blob_concat) — the tunnel
+    link charges ~25ms per transfer, and the raw form is 12 uploads + 3
+    fetches per chunk."""
+    from ..ops.opt import blob_concat, blob_split_device
     run = build_gop_decoder(subsamp, w, h, L, blk_w, blk_h)
     vrun = jax.vmap(run)
+    layout_box = {}
+
+    def blob_run(blob):
+        outs = vrun(*blob_split_device(blob, in_specs))
+        return blob_concat(outs, blob.shape[0], layout_box)
+
     if mesh_key is None:
-        return jax.jit(vrun)
+        return jax.jit(blob_run), layout_box
     mesh = _MESHES[mesh_key]
     shard = NamedSharding(mesh, PartitionSpec("gop"))
-    return jax.jit(vrun, in_shardings=(shard,) * 12, out_shardings=shard)
+    return (jax.jit(blob_run, in_shardings=shard, out_shardings=shard),
+            layout_box)
 
 
 _MESHES: dict = {}
@@ -220,7 +233,17 @@ def iter_decode_gops(stream: bytes, mesh: Mesh | None = None, *,
     else:
         chunk = per_dev
         key = None
-    fn = _jit_batched_dec(subsamp, w, h, L, blk_w, blk_h, key)
+    in_specs = (
+        tuple((np.dtype(np.int16).str, (chunk, L, ch, cw))
+              for (cw, ch) in coef_dims)
+        + ((np.dtype(np.int32).str, (chunk, L, 3)),
+           (np.dtype(np.int32).str, (chunk, L)),
+           (np.dtype(np.bool_).str, (chunk, L)),
+           (np.dtype(np.bool_).str, (chunk, L)),
+           (np.dtype(np.uint8).str, (chunk, L, nblk)))
+        + ((np.dtype(np.int32).str, (chunk, L, nblk)),) * 4)
+    fn, layout_box = _jit_batched_dec(subsamp, w, h, L, blk_w, blk_h, key,
+                                      in_specs)
 
     nc = len(chains)
     npad = div_round(nc, chunk) * chunk
@@ -259,14 +282,24 @@ def iter_decode_gops(stream: bytes, mesh: Mesh | None = None, *,
         return (qg[0], qg[1], qg[2], dcs, quants, is_p, is_ref, stable,
                 mo, mx, my, sb)
 
+    from ..ops.opt import blob_concat_np
+    from ..ops.opt import blob_split as _blob_split
+
+    def dispatch_chunk(s):
+        blob_np, specs = blob_concat_np(pack_chunk(s))
+        assert specs == in_specs
+        b = fn(blob_np)
+        b.copy_to_host_async()
+        return b
+
     starts = list(range(0, npad, chunk))
     inflight = {}
     if starts:
-        inflight[starts[0]] = fn(*pack_chunk(starts[0]))
+        inflight[starts[0]] = dispatch_chunk(starts[0])
     for si, s in enumerate(starts):
         if si + 1 < len(starts):
-            inflight[starts[si + 1]] = fn(*pack_chunk(starts[si + 1]))
-        outs = jax.device_get(inflight.pop(s))
+            inflight[starts[si + 1]] = dispatch_chunk(starts[si + 1])
+        outs = _blob_split(jax.device_get(inflight.pop(s)), layout_box)
         for cl in range(chunk):
             ci = s + cl
             if ci >= nc:
