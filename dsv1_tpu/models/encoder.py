@@ -112,7 +112,13 @@ def make_prep(subsamp: int, w: int, h: int, levels: int):
 
 @lru_cache(maxsize=16)
 def _jit_prep(subsamp: int, w: int, h: int, levels: int):
-    return jax.jit(make_prep(subsamp, w, h, levels))
+    prep = make_prep(subsamp, w, h, levels)
+
+    @jax.jit
+    def f(packed):
+        return prep(fr.split_packed_planes(packed, subsamp, w, h))
+
+    return f
 
 
 @lru_cache(maxsize=16)
@@ -143,8 +149,8 @@ def _jit_prep_hme(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
     box = {}
 
     @jax.jit
-    def f(planes, ref_imgs):
-        imgs, al = prep(planes)
+    def f(packed, ref_imgs):
+        imgs, al = prep(fr.split_packed_planes(packed, subsamp, w, h))
         mv = hme_run(list(imgs), list(ref_imgs), list(layouts),
                      blk_w, blk_h, nbh, nbv, subsamp, levels,
                      effort=effort)
@@ -172,8 +178,17 @@ def _jit_core_compact(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
                 for t in coef_geometry(subsamp, w, h, nbh, nbv)[2]]
     box = {}
 
+    nblk = nbh * nbv
+
     @jax.jit
-    def f(input_img, ref_img, quant, stable, m0, m1, m2, m3):
+    def f(input_img, ref_img, smalls):
+        # smalls: one coalesced int32 upload — [quant, stable(nblk),
+        # mode(nblk), mvx(nblk), mvy(nblk), submask(nblk)] (the link
+        # charges per transfer, and these were 6 small uploads)
+        quant = smalls[0]
+        stable = smalls[1:1 + nblk].astype(jnp.uint8)
+        m0, m1, m2, m3 = (smalls[1 + (k + 1) * nblk:1 + (k + 2) * nblk]
+                          for k in range(4))
         qvals, dcs, recon = core(input_img, ref_img, quant, stable,
                                  m0, m1, m2, m3)
         if has_ref:
@@ -523,7 +538,7 @@ class Encoder:
             self.prev_gop = fnum
             self.force_metadata = False
 
-        jplanes = [jnp.asarray(p) for p in planes]
+        packed = fr.np_pack_planes(planes)  # one coalesced H2D per frame
         mv = None
         maybe_p = (c.gop != GOP_INTRA and not gop_start
                    and self._ref_pyr is not None)
@@ -534,13 +549,13 @@ class Encoder:
             run, box = _jit_prep_hme(meta.subsamp, w, h, self.blk_w,
                                      self.blk_h, self.nbh, self.nbv, levels,
                                      c.effort)
-            imgs, blob = run(tuple(jplanes), tuple(self._ref_pyr))
+            imgs, blob = run(packed, tuple(self._ref_pyr))
             o = blob_split(jax.device_get(blob), box)
             al = int(o.pop("al")[0])
             mv = {k: v[0] for k, v in o.items()}
         else:
             prep = _jit_prep(meta.subsamp, w, h, levels)
-            imgs, al_d = prep(jplanes)
+            imgs, al_d = prep(packed)
             al = int(al_d)
 
         if c.gop == GOP_INTRA:
@@ -572,21 +587,21 @@ class Encoder:
         core, cbox = _jit_core_compact(meta.subsamp, w, h, self.blk_w,
                                        self.blk_h, self.nbh, self.nbv,
                                        has_ref, want_recon)
+        nblk = self.nbh * self.nbv
+        smalls = np.empty(1 + 5 * nblk, np.int32)
+        smalls[0] = quant
+        smalls[1:1 + nblk] = stable
         if has_ref:
-            margs = (jnp.asarray(mv["mode"].reshape(-1)),
-                     jnp.asarray(mv["mvx"].reshape(-1)),
-                     jnp.asarray(mv["mvy"].reshape(-1)),
-                     jnp.asarray(mv["submask"].reshape(-1)))
+            for k, name in enumerate(("mode", "mvx", "mvy", "submask")):
+                smalls[1 + (k + 1) * nblk:1 + (k + 2) * nblk] = \
+                    mv[name].reshape(-1)
         else:
-            z = jnp.zeros(self.nbh * self.nbv, jnp.int32)
-            margs = (z, z, z, z)
+            smalls[1 + nblk:] = 0
         ref_arg = self._ref_recon if has_ref else jnp.int32(0)
-        blob, recon_img = core(imgs[0], ref_arg, jnp.int32(quant),
-                               jnp.asarray(stable), *margs)
+        blob, recon_img = core(imgs[0], ref_arg, smalls)
         o = blob_split(jax.device_get(blob), cbox)
         dcs = o["dc"][0]
-        qvals = self._uncompact(o["comp"], has_ref, imgs, ref_arg, quant,
-                                stable, margs)
+        qvals = self._uncompact(o["comp"], has_ref, imgs, ref_arg, smalls)
 
         # host: picture packet assembly (encode_picture, dsv_encoder.c:463-536)
         picture = pack_picture(fnum, self.blk_w, self.blk_h, stable, has_ref,
@@ -609,8 +624,7 @@ class Encoder:
         self.prev_link = len(picture)
         return packets
 
-    def _uncompact(self, comp, has_ref, imgs, ref_arg, quant, stable,
-                   margs):
+    def _uncompact(self, comp, has_ref, imgs, ref_arg, smalls):
         """Compacted device outputs -> per-plane (runs, vals) symbol
         tuples; rare cap overflows re-run the dense int32 core."""
         from .. import bits as native_bits
@@ -620,11 +634,15 @@ class Encoder:
             ovf = any(int(comp[ci][3][0]) > 0 for ci in range(3))
         if ovf:
             meta = self.meta
+            nblk = self.nbh * self.nbv
             core = _jit_encode_core(meta.subsamp, meta.width, meta.height,
                                     self.blk_w, self.blk_h, self.nbh,
                                     self.nbv, has_ref, False)
-            qv, _dcs, _ = core(imgs[0], ref_arg, jnp.int32(quant),
-                               jnp.asarray(stable), *margs)
+            margs = tuple(smalls[1 + (k + 1) * nblk:1 + (k + 2) * nblk]
+                          for k in range(4))
+            qv, _dcs, _ = core(imgs[0], ref_arg, jnp.int32(int(smalls[0])),
+                               jnp.asarray(smalls[1:1 + nblk], jnp.uint8),
+                               *margs)
             return [np.asarray(q) for q in qv]
         out = []
         for ci in range(3):

@@ -192,6 +192,35 @@ def avg_luma(plane2d):
     return (jnp.sum(a) // n).astype(jnp.int32)
 
 
+def plane_sizes(subsamp: int, w: int, h: int):
+    """(luma, chroma) element counts of one packed planar frame."""
+    from ..constants import format_h_shift, format_v_shift, round_shift
+    cw = round_shift(w, format_h_shift(subsamp))
+    ch = round_shift(h, format_v_shift(subsamp))
+    return w * h, cw * ch, cw, ch
+
+
+def split_packed_planes(packed, subsamp: int, w: int, h: int):
+    """Device side: (..., fsz) packed planar uint8 -> (y, u, v).
+
+    Input frames cross the host->device link as ONE packed byte array
+    instead of three (y, u, v) arrays: the tunnel link charges a fixed
+    per-transfer cost (~25ms measured on fetches), so coalescing H2D
+    mirrors the D2H blob trick (ops/opt.py:blob_concat). The byte order
+    is the raw planar YUV file order (dsv.c:98-170)."""
+    ysz, csz, cw, ch = plane_sizes(subsamp, w, h)
+    lead = packed.shape[:-1]
+    return (packed[..., :ysz].reshape(lead + (h, w)),
+            packed[..., ysz:ysz + csz].reshape(lead + (ch, cw)),
+            packed[..., ysz + csz:ysz + 2 * csz].reshape(lead + (ch, cw)))
+
+
+def np_pack_planes(planes) -> np.ndarray:
+    """Host side: (y, u, v) -> one (fsz,) uint8 planar byte array."""
+    return np.concatenate([np.asarray(p, np.uint8).ravel()
+                           for p in planes[:3]])
+
+
 def np_yuv_split(data: np.ndarray, subsamp: int, w: int, h: int):
     """Split a planar YUV frame byte buffer into three (h, w) arrays."""
     hs, vs = format_h_shift(subsamp), format_v_shift(subsamp)

@@ -63,27 +63,9 @@ def crf_quant(quality: int) -> int:
     return MAX_QUALITY - ((MAX_QUALITY - 5) * quality // MAX_QUALITY)
 
 
-def plane_sizes(subsamp: int, w: int, h: int):
-    """(luma, chroma) element counts of one packed planar frame."""
-    from ..constants import format_h_shift, format_v_shift, round_shift
-    cw = round_shift(w, format_h_shift(subsamp))
-    ch = round_shift(h, format_v_shift(subsamp))
-    return w * h, cw * ch, cw, ch
-
-
-def _split_planes(packed, subsamp: int, w: int, h: int):
-    """Device side: (..., fsz) packed planar uint8 -> (y, u, v).
-
-    Input frames cross the host->device link as ONE packed byte array
-    per chunk instead of three (y, u, v) arrays: the tunnel link charges
-    a fixed per-transfer cost (~25ms measured on fetches), so
-    coalescing H2D mirrors the D2H blob trick (ops/opt.py:blob_concat).
-    The byte order is the raw planar YUV file order (dsv.c:98-170)."""
-    ysz, csz, cw, ch = plane_sizes(subsamp, w, h)
-    lead = packed.shape[:-1]
-    return (packed[..., :ysz].reshape(lead + (h, w)),
-            packed[..., ysz:ysz + csz].reshape(lead + (ch, cw)),
-            packed[..., ysz + csz:ysz + 2 * csz].reshape(lead + (ch, cw)))
+# packed planar frame helpers shared with the sequential encoder
+_split_planes = fr.split_packed_planes
+plane_sizes = fr.plane_sizes
 
 
 def block_geometry(w: int, h: int):
