@@ -9,6 +9,7 @@ Prints one JSON line:
 """
 
 import json
+import os
 import subprocess
 import time
 from pathlib import Path
@@ -20,8 +21,6 @@ def _enable_compile_cache():
     """Persist TPU compiles across bench runs. The env var alone does not
     work here: jax reads it when first imported, which the axon
     sitecustomize does at interpreter startup."""
-    import os
-
     import jax
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         # explicit CPU smoke run: undo the sitecustomize axon override
@@ -91,7 +90,6 @@ def main():
     ref_fps = n_frames * reps / (time.perf_counter() - t0)
 
     # --- ours: GOP-parallel TPU path (compile once, then steady state)
-    import os
     encode_stream_gops(frames, meta, cfg)  # warm-up / compile
 
     # quick self-tune over the no-recompile transfer knobs (the axon

@@ -212,11 +212,9 @@ def encode_main(argv) -> int:
     # reference-exact sequential path unless -gopabr opts into the
     # GOP-granular parallel rate control (spec-valid, faster, different
     # bytes than per-frame ABR).
-    use_par = (bool(_get(params, "gopar")) and 0 < gop <= 4096
-               and (rc_mode == C.RATE_CONTROL_CRF
-                    or bool(_get(params, "gopabr"))))
-    use_par |= (bool(_get(params, "gopar")) and gop == 0
-                and rc_mode == C.RATE_CONTROL_CRF)
+    par_rc = (rc_mode == C.RATE_CONTROL_CRF
+              or (gop > 0 and bool(_get(params, "gopabr"))))
+    use_par = bool(_get(params, "gopar")) and gop <= 4096 and par_rc
     import contextlib
     prof = contextlib.nullcontext()
     if opts.get("prof"):

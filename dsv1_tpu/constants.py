@@ -79,6 +79,13 @@ def quality_percent(pct: int) -> int:
     return MAX_QUALITY * pct // 100
 
 
+def quant_of_quality(q):
+    """quality -> 11-bit picture quant (the quality2quant tail,
+    dsv_encoder.c:165). Elementwise on numpy arrays (q >= 0, so floor
+    division matches C's truncating division)."""
+    return MAX_QUALITY - (MAX_QUALITY - 5) * q // MAX_QUALITY
+
+
 # motion data substreams (dsv_internal.h:30-35)
 SUB_MODE = 0
 SUB_MV_X = 1

@@ -25,7 +25,7 @@ from ..constants import (FOURCC, GOP_INTRA, MAX_QP_BITS, MAX_QUALITY,
                          MIN_BLOCK_SIZE, MAX_BLOCK_SIZE, MAX_PYRAMID_LEVELS,
                          MODE_INTER, BPF_RESET, PT_EOS, RATE_CONTROL_CRF,
                          VERSION_MINOR, div_round, make_pt, quality_percent,
-                         round_pow2, round_shift)
+                         quant_of_quality, round_pow2, round_shift)
 from ..ops import bmc, frame as fr, hzcc, sbt
 from ..ops.cint import lb2_static
 from ..ops.golomb import BitWriter, zbrle_encode
@@ -117,20 +117,6 @@ def _jit_prep(subsamp: int, w: int, h: int, levels: int):
     @jax.jit
     def f(packed):
         return prep(fr.split_packed_planes(packed, subsamp, w, h))
-
-    return f
-
-
-@lru_cache(maxsize=16)
-def _jit_hme(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
-             nbh: int, nbv: int, levels: int, effort: int = 0):
-    layouts = _pyr_layouts(subsamp, w, h, levels)
-
-    @jax.jit
-    def f(src_imgs, ref_imgs):
-        return hme_run(list(src_imgs), list(ref_imgs), list(layouts),
-                       blk_w, blk_h, nbh, nbv, subsamp, levels,
-                       effort=effort)
 
     return f
 
@@ -477,7 +463,7 @@ class Encoder:
         else:
             q = c.quality
             self.rc_quant = q
-        return MAX_QUALITY - ((MAX_QUALITY - 5) * q // MAX_QUALITY)
+        return quant_of_quality(q)
 
     # ------------------------------------------------- stability tracking
     def _stable_blocks_update(self, is_p: bool, mv: dict | None) -> np.ndarray:

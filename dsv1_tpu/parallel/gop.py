@@ -30,6 +30,7 @@ stream differs in stability flags only — still spec-valid and decoded
 bit-exactly by the reference decoder.
 """
 
+import math
 import os
 from functools import lru_cache
 
@@ -41,7 +42,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ..constants import (FOURCC, GOP_INTRA, MAX_BLOCK_SIZE, MAX_QP_BITS,
                          MAX_QUALITY, MIN_BLOCK_SIZE, MODE_INTER,
-                         RATE_CONTROL_CRF, VERSION_MINOR, div_round)
+                         RATE_CONTROL_CRF, VERSION_MINOR, div_round,
+                         quant_of_quality)
 from ..models.bitstream import (encode_eos_packet, encode_metadata_packet,
                                 set_link_offsets)
 from ..models.encoder import (EncoderConfig, _pyr_layouts,
@@ -60,7 +62,7 @@ from ..ops.pallas_hme import use_pallas
 
 def crf_quant(quality: int) -> int:
     """quality2quant CRF tail (dsv_encoder.c:165)."""
-    return MAX_QUALITY - ((MAX_QUALITY - 5) * quality // MAX_QUALITY)
+    return quant_of_quality(quality)
 
 
 # packed planar frame helpers shared with the sequential encoder
@@ -509,7 +511,6 @@ class _AbrState:
         return max(0, min(q, MAX_QUALITY))
 
     def _next_q(self) -> int:
-        import math
         lt = math.log(self.target_bpf)
         if not self.pts:
             return self.q
@@ -543,13 +544,10 @@ class _AbrState:
         quals = np.zeros((chunk, 2), np.int32)
         quals[:, 0] = max(self.q, self.cfg.min_I_frame_quality)
         quals[:, 1] = self.q
-        quants = (MAX_QUALITY
-                  - (MAX_QUALITY - 5) * quals // MAX_QUALITY).astype(np.int32)
-        return quants, quals
+        return quant_of_quality(quals).astype(np.int32), quals
 
     def gop_done(self, quality: int, gop_bytes: int, n_frames: int):
         """Feed one completed GOP's measured size."""
-        import math
         lb = math.log(max(gop_bytes, 1) / max(n_frames, 1))
         self.pts.append((int(quality), lb))
         del self.pts[:-3]

@@ -27,8 +27,8 @@ sys.path.insert(0, str(ROOT))
 
 def main():
     nf = int(sys.argv[1]) if len(sys.argv) > 1 else 96
-    w = int(sys.argv[2]) if len(sys.argv) > 3 else 176
-    h = int(sys.argv[3]) if len(sys.argv) > 3 else 144
+    w, h = ((int(sys.argv[2]), int(sys.argv[3])) if len(sys.argv) > 3
+            else (176, 144))
     from tests import corpus, oracle
     from dsv1_tpu.constants import (RATE_CONTROL_ABR, SUBSAMP_420,
                                     quality_percent)
