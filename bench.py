@@ -104,7 +104,13 @@ def main():
             os.environ.pop(k, None)
         os.environ.update(c)
 
-    if not any(k in os.environ for c in combos for k in c):
+    tuned = Path(__file__).resolve().parent / "build" / "tune_best.json"
+    if any(k in os.environ for c in combos for k in c):
+        pass  # explicit env wins
+    elif tuned.is_file():
+        # tools/tune.py already swept the knobs on this hardware
+        set_env(json.loads(tuned.read_text()))
+    else:
         best_c, best_t = {}, float("inf")
         for c in combos:
             set_env(c)

@@ -83,6 +83,11 @@ def run_point(w, h, n_frames, gop, reps=3, label=""):
 
 
 if __name__ == "__main__":
+    import os
     _cache()
+    tuned = ROOT / "build" / "tune_best.json"
+    if tuned.is_file():  # knob values from tools/tune.py's sweep
+        for k, v in json.loads(tuned.read_text()).items():
+            os.environ.setdefault(k, v)
     run_point(352, 288, 288, 12, label="cif_gop12_qp85")
     run_point(1920, 1080, 48, 12, label="1080p_gop12_qp85")

@@ -120,6 +120,11 @@ def main():
 
     print(json.dumps({"best_env": best_env, "best_fps": round(best, 1),
                       "default_fps": round(base, 1)}))
+    # persist for bench.py / tools/bench_suite.py (applied when the env
+    # doesn't already set the knobs)
+    out = ROOT / "build" / "tune_best.json"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps({k: str(v) for k, v in best_env.items()}))
 
 
 if __name__ == "__main__":
