@@ -423,13 +423,21 @@ def _stage_h2d(arrs, sharding=None):
     global _H2D_POOL
     if _H2D_POOL is None:
         from concurrent.futures import ThreadPoolExecutor
-        _H2D_POOL = ThreadPoolExecutor(max_workers=16)
+        _H2D_POOL = ThreadPoolExecutor(max_workers=32)
     out = []
     for a in arrs:
-        n = min(streams, a.shape[0])
+        if a.dtype != np.uint8:  # only the bulk u8 frame bytes split
+            out.append(jax.device_put(a))
+            continue
+        # split a flat view (not axis 0, whose extent may be tiny —
+        # e.g. 4 GOP rows) so the requested stream count is honored;
+        # floor 256KB per slice keeps per-transfer overhead amortized
+        flat = np.ascontiguousarray(a).reshape(-1)
+        n = min(streams, max(1, flat.size // (256 << 10)))
         futs = [_H2D_POOL.submit(jax.device_put, s)
-                for s in np.array_split(a, n, axis=0)]
-        out.append(jnp.concatenate([f.result() for f in futs], axis=0))
+                for s in np.array_split(flat, n)]
+        out.append(jnp.concatenate([f.result() for f in futs])
+                   .reshape(a.shape))
     return out
 
 

@@ -3,12 +3,15 @@
 Run on the real chip (no env overrides). Prints a compact report used to
 decide where the next encode-throughput win is.
 """
+import sys
 import time
 from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 jax.config.update("jax_compilation_cache_dir",
                   str(Path(__file__).resolve().parent.parent / "build"

@@ -95,7 +95,7 @@ def main():
     # no-recompile sweep: prefetch x h2d streams at the default chunk
     best_env, best = {}, base
     for pf in (2, 3, 4):
-        for hs in (0, 1, 2, 4, 8):
+        for hs in (0, 1, 2, 4, 8, 16):
             env = {"DSV1_PREFETCH": pf, "DSV1_H2D_STREAMS": hs}
             fps = run(env)
             results.append((f"pf={pf} hs={hs}", fps))
