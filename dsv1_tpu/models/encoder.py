@@ -430,7 +430,7 @@ class Encoder:
         self.prev_avg_luma = 0
         self.refresh_ctr = 0
         self.prev_link = 0
-        self.force_metadata = False
+        self._force_meta = False
         self.stability = None       # (nblk, 2) int16 accumulators
         self.stable_blocks = None   # (nblk,) uint8
         self._ref_recon = None      # device image (MC reference)
@@ -452,7 +452,16 @@ class Encoder:
         if c.rc_mode != RATE_CONTROL_CRF:
             self.rc_quant = c.quality
             self.avg_P_frame_q = c.quality * 4 // 5
-        self.force_metadata = True
+        self._force_meta = True
+
+    def force_metadata(self):
+        """Force a metadata re-emit (and therefore a GOP restart) on the
+        next encoded frame — dsv_enc_force_metadata (dsv_encoder.h:115,
+        dsv_encoder.c:760-763). The next frame becomes a GOP start: the
+        metadata packet precedes its picture and the frame codes intra,
+        exactly like the reference's gop_start path
+        (dsv_encoder.c:624-628)."""
+        self._force_meta = True
 
     # ------------------------------------------------------------- RC
     def _quality2quant(self, is_p: bool, forced_intra: bool) -> int:
@@ -519,10 +528,10 @@ class Encoder:
 
         from ..ops.opt import blob_split
 
-        gop_start = self.force_metadata or (self.prev_gop + c.gop) <= fnum
+        gop_start = self._force_meta or (self.prev_gop + c.gop) <= fnum
         if gop_start:
             self.prev_gop = fnum
-            self.force_metadata = False
+            self._force_meta = False
 
         packed = fr.np_pack_planes(planes)  # one coalesced H2D per frame
         mv = None
@@ -661,7 +670,7 @@ class Encoder:
         "rc_quant", "bpf_total", "bpf_reset", "bpf_avg", "total_P_frame_q",
         "avg_P_frame_q", "last_P_frame_over", "back_into_range", "next_fnum",
         "prev_gop", "prev_avg_luma", "refresh_ctr", "prev_link",
-        "force_metadata", "_levels")
+        "_force_meta", "_levels")
 
     def state_dict(self) -> dict:
         """Complete inter-frame state for resumable encode: the DSV_ENCODER

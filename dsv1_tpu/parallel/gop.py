@@ -407,14 +407,16 @@ def _stage_h2d(arrs, sharding=None):
 
     DSV1_H2D_STREAMS = 0 (default): pass numpy through and let the jit
     call transfer implicitly. 1: one explicit async device_put per
-    array. S > 1: split each array into S slices along axis 0 and
-    device_put them from S threads — if the device link (the axon
-    tunnel here) gives each transfer its own stream, this multiplies
-    effective H2D bandwidth; measured by tools/profile_tpu.py's
-    bw_probe. Slices are re-joined by an on-device concatenate (HBM
-    bandwidth is free at these sizes). With a mesh sharding the arrays
-    go up as one sharded device_put (stream splitting would fight the
-    shard layout)."""
+    array. S > 1: uint8 arrays (the bulk frame bytes) are flattened and
+    split into up to S contiguous slices — at least 256KB each, so the
+    per-transfer overhead stays amortized — and device_put from S
+    threads; if the device link (the axon tunnel here) gives each
+    transfer its own stream, this multiplies effective H2D bandwidth
+    (measured by tools/profile_tpu.py's bw_probe). Slices are re-joined
+    by an on-device concatenate + reshape (HBM bandwidth is free at
+    these sizes); non-uint8 arrays always go up as a single device_put.
+    With a mesh sharding the arrays go up as one sharded device_put
+    (stream splitting would fight the shard layout)."""
     streams = _env_int("DSV1_H2D_STREAMS", 0)
     if streams <= 0 and sharding is None:
         return arrs
@@ -432,8 +434,10 @@ def _stage_h2d(arrs, sharding=None):
         # split a flat view (not axis 0, whose extent may be tiny —
         # e.g. 4 GOP rows) so the requested stream count is honored;
         # floor 256KB per slice keeps per-transfer overhead amortized
+        # (DSV1_H2D_SLICE_FLOOR overrides, mainly for tests)
         flat = np.ascontiguousarray(a).reshape(-1)
-        n = min(streams, max(1, flat.size // (256 << 10)))
+        floor = max(1, _env_int("DSV1_H2D_SLICE_FLOOR", 256 << 10))
+        n = min(streams, max(1, flat.size // floor))
         futs = [_H2D_POOL.submit(jax.device_put, s)
                 for s in np.array_split(flat, n)]
         out.append(jnp.concatenate([f.result() for f in futs])

@@ -55,3 +55,29 @@ import pytest  # noqa: E402
 def _bound_jit_mappings():
     yield
     jax.clear_caches()
+
+
+# --- smoke tier: `pytest -m smoke` (<60 s) runs one golden test per
+# kernel plus one e2e byte-identity, for fast parity checks between
+# full-suite runs. Parametrized tests contribute only their first
+# collected variant so the tier stays small.
+_SMOKE = {
+    "test_trunc_div_matches_c",        # C integer semantics (ops/cint.py)
+    "test_ueg_codes_match_reference",  # exp-Golomb codes (ops/golomb.py)
+    "test_fwd_sbt_p_frames",           # Haar forward (ops/sbt.py)
+    "test_inv_sbt_luma_filtered",      # filtered inverse (ops/sbt.py)
+    "test_encode_plane_matches_reference",  # quant+HZCC (ops/hzcc.py)
+    "test_hme_matches_reference",      # motion estimation (ops/hme.py)
+    "test_encoder_gop_crf",            # e2e byte-identity vs reference
+    "test_decode_420",                 # bit-exact decode vs reference
+    "test_gop_parallel_matches_sequential",  # device GOP path parity
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    seen = set()
+    for it in items:
+        base = it.name.split("[")[0]
+        if base in _SMOKE and base not in seen:
+            seen.add(base)
+            it.add_marker(pytest.mark.smoke)

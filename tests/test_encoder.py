@@ -37,6 +37,46 @@ def _compare(tmp_path, w, h, subsamp, nframes, cfg, **cli):
     assert diffs.size == 0, f"first byte diff at {diffs[:8]} of {len(ref)}"
 
 
+def test_force_metadata_midstream(tmp_path):
+    """Encoder.force_metadata (dsv_enc_force_metadata, dsv_encoder.h:115):
+    a mid-stream force re-emits metadata, restarts the GOP, and the
+    stream round-trips through both our decoder and the reference
+    binary."""
+    w, h, subsamp, nframes, gop = 96, 80, SUBSAMP_420, 8, 12
+    yuv = corpus.make_clip(w, h, subsamp, nframes, seed=21)
+    meta = Metadata(w, h, subsamp)
+    cfg = EncoderConfig(quality=quality_percent(70), gop=gop,
+                        rc_mode=RATE_CONTROL_CRF, stable_refresh=gop - 1)
+    enc = Encoder(meta, cfg)
+    enc.start()
+    fsz = frame_size(w, h, subsamp)
+    from dsv1_tpu.ops.frame import np_yuv_split
+    stream = bytearray()
+    n_meta = 0
+    for i in range(nframes):
+        if i == 4:
+            enc.force_metadata()  # mid-GOP: frame 4 must restart the GOP
+        a = np.frombuffer(yuv[i * fsz:(i + 1) * fsz], np.uint8)
+        pkts = enc.encode(np_yuv_split(a, subsamp, w, h))
+        if i in (0, 4):
+            assert len(pkts) == 2, "forced frame must carry metadata"
+            n_meta += 1
+        for p in pkts:
+            stream += p
+    stream += enc.end_of_stream()
+    assert n_meta == 2
+
+    # round-trips bit-exactly through our decoder and the reference's
+    from dsv1_tpu.models.decoder import Decoder
+    dec = Decoder()
+    ours = b"".join(np.asarray(p).tobytes()
+                    for _, planes in dec.decode_stream(bytes(stream))
+                    for p in planes)
+    ref = corpus.ref_decode(bytes(stream), tmp_path)
+    assert ours == ref
+    assert len(ref) == nframes * fsz
+
+
 def test_encoder_intra_only_crf(tmp_path):
     cfg = EncoderConfig(quality=quality_percent(70), gop=0,
                         rc_mode=RATE_CONTROL_CRF, stable_refresh=1)

@@ -61,6 +61,10 @@ def test_pipeline_knobs_byte_identical(gop, monkeypatch):
     monkeypatch.setenv("DSV1_PREFETCH", "3")
     monkeypatch.setenv("DSV1_H2D_STREAMS", "4")
     monkeypatch.setenv("DSV1_GOPS_PER_DEVICE", "2")
+    # lower the per-slice floor so this small clip actually takes the
+    # multi-slice flatten/split/concat path (default 256KB floor would
+    # collapse the split to n=1 at ~115KB per chunk)
+    monkeypatch.setenv("DSV1_H2D_SLICE_FLOOR", str(16 << 10))
     assert encode_stream_gops(frames, meta, cfg) == base
 
 
