@@ -1,11 +1,24 @@
-"""Benchmark: CIF encode throughput at the reference's headline operating
-point (352x288, gop 12, qp 85 — reference README.md:25-33) vs the
-single-core reference C encoder (`cc -O3`, the only baseline the reference
+"""Benchmark: the BASELINE.md metric set at the reference's headline
+operating point (gop 12, qp 85 CRF — reference README.md:25-33) vs the
+single-core reference C codec (`cc -O3`, the only baseline the reference
 publishes; BASELINE.md).
 
-Prints one JSON line:
-  {"metric": "encode_fps_cif_gop12_qp85", "value": fps, "unit": "frames/s",
-   "vs_baseline": fps / reference_fps}
+Emits one JSON metric line each for (the driver parses the LAST line as
+the headline metric, kept identical to rounds 1-2):
+
+  encode_fps_1080p_gop12_qp85   e2e 1080p encode (file bytes in -> .dsv)
+  device_fps_1080p_gop12_qp85   1080p encode, device compute only (the
+                                tunneled axon link is a test-environment
+                                artifact: ~25-45 MB/s vs real deployments
+                                feeding from co-located storage)
+  decode_fps_cif_gop12_qp85     e2e CIF decode of a reference stream
+  device_fps_cif_gop12_qp85     CIF encode, device compute only
+  encode_fps_cif_gop12_qp85     e2e CIF encode (headline)
+
+Every e2e point carries "parity": encode streams byte-compare against
+the reference binary's output at matched settings (verifying the Pallas
+HME path on real hardware), decode output byte-compares against the
+reference decoder.
 """
 
 import json
@@ -50,50 +63,65 @@ def _probe_device(timeout_s: int = 180):
         raise SystemExit(3)
 
 
-def main():
-    _probe_device()
-    _enable_compile_cache()
+def _mk_point(w, h, n_frames, label):
+    """Corpus + config + reference-binary baselines for one operating
+    point. Returns a dict with frames/meta/cfg, reference fps numbers,
+    the reference stream (parity oracle) and its decode."""
     from tests import corpus, oracle
     from dsv1_tpu.constants import (RATE_CONTROL_CRF, SUBSAMP_420,
                                     quality_percent)
     from dsv1_tpu.models.encoder import EncoderConfig
     from dsv1_tpu.models.metadata import Metadata
     from dsv1_tpu.ops.frame import np_yuv_split
-    from dsv1_tpu.parallel import encode_stream_gops
     from dsv1_tpu.utils.yuv import frame_size
 
-    w, h, subsamp, G = 352, 288, SUBSAMP_420, 12
-    n_frames = 288  # 24 GOPs (steady state past compile/pipeline warm-up)
-    yuv = corpus.make_clip(w, h, subsamp, n_frames, seed=11)
-    fsz = frame_size(w, h, subsamp)
+    G = 12
+    yuv = corpus.make_clip(w, h, SUBSAMP_420, n_frames, seed=11)
+    fsz = frame_size(w, h, SUBSAMP_420)
     frames = [np_yuv_split(np.frombuffer(yuv[i * fsz:(i + 1) * fsz],
-                                         np.uint8), subsamp, w, h)
+                                         np.uint8), SUBSAMP_420, w, h)
               for i in range(n_frames)]
-    meta = Metadata(w, h, subsamp)
+    meta = Metadata(w, h, SUBSAMP_420)
     cfg = EncoderConfig(quality=quality_percent(85), gop=G,
                         rc_mode=RATE_CONTROL_CRF, stable_refresh=G - 1)
 
-    # --- baseline: reference C encoder, single core (cc -O3)
     oracle.build_oracle()
     tmp = Path("/tmp/dsv1_bench")
     tmp.mkdir(exist_ok=True)
-    inp = tmp / "in.yuv"
+    inp = tmp / f"in_{label}.yuv"
     inp.write_bytes(yuv)
-    args = [str(oracle.BIN), "e", f"-inp_{inp}", f"-out_{tmp/'o.dsv'}",
-            f"-w{w}", f"-h{h}", "-fmt2", f"-nfr{n_frames}", f"-gop{G}",
-            "-qp85", "-rc_mode1", f"-stabref{G-1}", "-y"]
-    subprocess.run(args, check=True, capture_output=True)  # warm cache
+    ref_dsv = tmp / f"ref_{label}.dsv"
+    eargs = [str(oracle.BIN), "e", f"-inp_{inp}", f"-out_{ref_dsv}",
+             f"-w{w}", f"-h{h}", "-fmt2", f"-nfr{n_frames}", f"-gop{G}",
+             "-qp85", "-rc_mode1", f"-stabref{G-1}", "-y"]
+    subprocess.run(eargs, check=True, capture_output=True)  # warm cache
+    reps = 3 if w <= 704 else 2
     t0 = time.perf_counter()
-    reps = 3
     for _ in range(reps):
-        subprocess.run(args, check=True, capture_output=True)
-    ref_fps = n_frames * reps / (time.perf_counter() - t0)
+        subprocess.run(eargs, check=True, capture_output=True)
+    ref_efps = n_frames * reps / (time.perf_counter() - t0)
 
-    # --- ours: GOP-parallel TPU path (compile once, then steady state)
-    encode_stream_gops(frames, meta, cfg)  # warm-up / compile
+    ref_yuv = tmp / f"dec_{label}.yuv"
+    dargs = [str(oracle.BIN), "d", f"-inp_{ref_dsv}", f"-out_{ref_yuv}",
+             "-y"]
+    subprocess.run(dargs, check=True, capture_output=True)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        subprocess.run(dargs, check=True, capture_output=True)
+    ref_dfps = n_frames * reps / (time.perf_counter() - t0)
 
-    # quick self-tune over the no-recompile transfer knobs (the axon
-    # link's per-transfer behavior varies; one probe rep per combo)
+    return {"w": w, "h": h, "n": n_frames, "frames": frames, "meta": meta,
+            "cfg": cfg, "ref_efps": ref_efps, "ref_dfps": ref_dfps,
+            "ref_stream": ref_dsv.read_bytes(),
+            "ref_decode": ref_yuv.read_bytes(), "label": label}
+
+
+def _self_tune(pt):
+    """Quick sweep over the no-recompile transfer knobs (the axon link's
+    per-transfer behavior varies run to run); persisted tune.py results
+    win, explicit env wins over both."""
+    from dsv1_tpu.parallel import encode_stream_gops
+
     combos = [{}, {"DSV1_PREFETCH": "3"},
               {"DSV1_H2D_STREAMS": "4"},
               {"DSV1_PREFETCH": "3", "DSV1_H2D_STREAMS": "4"},
@@ -106,34 +134,111 @@ def main():
 
     tuned = Path(__file__).resolve().parent / "build" / "tune_best.json"
     if any(k in os.environ for c in combos for k in c):
-        pass  # explicit env wins
-    elif tuned.is_file():
-        # tools/tune.py already swept the knobs on this hardware
+        return  # explicit env wins
+    if tuned.is_file():
         set_env(json.loads(tuned.read_text()))
-    else:
-        best_c, best_t = {}, float("inf")
-        for c in combos:
-            set_env(c)
-            t0 = time.perf_counter()
-            encode_stream_gops(frames, meta, cfg)
-            dt = time.perf_counter() - t0
-            if dt < best_t:
-                best_t, best_c = dt, dict(c)
-        set_env(best_c)
+        return
+    best_c, best_t = {}, float("inf")
+    for c in combos:
+        set_env(c)
+        t0 = time.perf_counter()
+        encode_stream_gops(pt["frames"], pt["meta"], pt["cfg"])
+        dt = time.perf_counter() - t0
+        if dt < best_t:
+            best_t, best_c = dt, dict(c)
+    set_env(best_c)
 
+
+def _device_only_fps(pt, reps=6):
+    """Encode fps with device-resident inputs and no host packing: the
+    chunk-batched jitted encoder (the same executable the e2e path
+    dispatches), timed to blob-ready. Measures what the chip sustains
+    when the stream source/sink is not the tunneled link."""
+    import jax
+    from dsv1_tpu.ops.frame import np_pack_planes
+    from dsv1_tpu.parallel.gop import (_jit_batched, block_geometry,
+                                       crf_quant)
+
+    cfg, meta = pt["cfg"], pt["meta"]
+    w, h, G = pt["w"], pt["h"], cfg.gop
+    blk_w, blk_h, nbh, nbv = block_geometry(w, h)
+    fn, _unpack = _jit_batched(meta.subsamp, w, h, G, cfg.quality,
+                               cfg.do_scd, cfg.scene_change_delta,
+                               cfg.intra_pct_thresh, cfg.stable_refresh,
+                               cfg.pyramid_levels, None,
+                               effort=cfg.effort)
+    chunk = max(1, min(4, (4 * 352 * 288 * 12) // max(G * w * h, 1)))
+    packed = np.stack([np_pack_planes(pt["frames"][i % pt["n"]])
+                       for i in range(chunk * G)]).reshape(chunk, G, -1)
+    args = [jax.device_put(a) for a in (
+        packed, np.zeros(chunk, np.int32),
+        np.zeros((chunk, nbh * nbv, 2), np.int32),
+        np.zeros(chunk, np.int32),
+        np.full((chunk, 2), crf_quant(cfg.quality), np.int32))]
+    jax.block_until_ready(fn(*args))  # compile/warm
     t0 = time.perf_counter()
-    reps = 3
     for _ in range(reps):
-        stream = encode_stream_gops(frames, meta, cfg)
-    fps = n_frames * reps / (time.perf_counter() - t0)
-    assert len(stream) > 0
+        blob = fn(*args)
+    jax.block_until_ready(blob)
+    return chunk * G * reps / (time.perf_counter() - t0)
 
-    print(json.dumps({
-        "metric": "encode_fps_cif_gop12_qp85",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / ref_fps, 3),
-    }))
+
+def _metric(name, fps, ref_fps, parity=None):
+    m = {"metric": name, "value": round(fps, 2), "unit": "frames/s",
+         "vs_baseline": round(fps / ref_fps, 3)}
+    if parity is not None:
+        m["parity"] = bool(parity)
+    print(json.dumps(m), flush=True)
+
+
+def main():
+    _probe_device()
+    _enable_compile_cache()
+    from dsv1_tpu.parallel import decode_stream_gops, encode_stream_gops
+
+    cif = _mk_point(352, 288, 288, "cif")
+    encode_stream_gops(cif["frames"], cif["meta"], cif["cfg"])  # compile
+    _self_tune(cif)
+
+    # --- 1080p encode: e2e + device-only (the compute-bound point)
+    hd = _mk_point(1920, 1080, 48, "1080p")
+    stream_hd = encode_stream_gops(hd["frames"], hd["meta"],
+                                   hd["cfg"])  # compile
+    parity_hd = stream_hd == hd["ref_stream"]
+    reps = 2
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        stream_hd = encode_stream_gops(hd["frames"], hd["meta"], hd["cfg"])
+    efps_hd = hd["n"] * reps / (time.perf_counter() - t0)
+    _metric("encode_fps_1080p_gop12_qp85", efps_hd, hd["ref_efps"],
+            parity_hd and stream_hd == hd["ref_stream"])
+    _metric("device_fps_1080p_gop12_qp85", _device_only_fps(hd, reps=4),
+            hd["ref_efps"])
+
+    # --- CIF decode of the reference's own stream
+    _, dec = decode_stream_gops(cif["ref_stream"])  # compile
+    parity_dec = b"".join(
+        np.asarray(p).tobytes() for f in dec for p in f[1]) \
+        == cif["ref_decode"]
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        decode_stream_gops(cif["ref_stream"])
+    dfps = cif["n"] * reps / (time.perf_counter() - t0)
+    _metric("decode_fps_cif_gop12_qp85", dfps, cif["ref_dfps"], parity_dec)
+
+    # --- CIF device-only encode
+    _metric("device_fps_cif_gop12_qp85", _device_only_fps(cif),
+            cif["ref_efps"])
+
+    # --- CIF e2e encode: the headline metric (LAST line, driver-parsed)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        stream = encode_stream_gops(cif["frames"], cif["meta"], cif["cfg"])
+    fps = cif["n"] * reps / (time.perf_counter() - t0)
+    _metric("encode_fps_cif_gop12_qp85", fps, cif["ref_efps"],
+            stream == cif["ref_stream"])
 
 
 if __name__ == "__main__":

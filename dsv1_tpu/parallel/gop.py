@@ -17,17 +17,21 @@ device math independent of packed byte counts. ABR feedback
 (dsv_encoder.c:70-163) needs the packed size of frame t-1 and therefore
 stays on the sequential host path (models/encoder.py).
 
-Byte-exactness: with the CLI default stable_refresh == gop-1
-(dsv_main.c:487-489) the reference's stability accumulators reset exactly
-at every GOP start, and the scan's per-GOP zero initialisation reproduces
-the sequential encoder byte-for-byte (tested). Cross-GOP SCD state is
-irrelevant here: a GOP's first frame is statically intra, so the
-predecessor's average luma cannot change any decision. The one
-intentional divergence:
-a mid-GOP forced-intra frame suppresses the reference's refresh-counter
-increment across the *next* GOP boundary; in that case the parallel
-stream differs in stability flags only — still spec-valid and decoded
-bit-exactly by the reference decoder.
+Byte-exactness: the reference's stability accumulators
+(dsv_encoder.h:101-106) are the only encoder state that crosses GOP
+boundaries. GOPs are encoded optimistically with zero-initialised
+accumulators — exact whenever the reference would reset at the GOP's I
+frame (refresh_ctr >= stable_refresh there, the steady state for the CLI
+default stable_refresh == gop-1, dsv_main.c:487-489). Exactness for the
+remaining cases (a mid-GOP forced-intra frame suppresses the
+refresh-counter increment; stable_refresh not dividing gop-1) comes from
+a host-side replay: the stability chain depends only on HME outputs and
+has_ref verdicts — never on the recon chain — so the host replays it in
+numpy from the fetched motion fields (_StabReplay), detects GOPs whose
+zero-init assumption was wrong, and re-dispatches just those chunks with
+the true per-GOP accumulator state. Cross-GOP SCD state is irrelevant
+here: a GOP's first frame is statically intra, so the predecessor's
+average luma cannot change any decision.
 """
 
 import math
@@ -123,6 +127,69 @@ def _stable_update(stability, refresh_ctr, is_p, mv, stable_refresh: int):
     stable_blocks = (stable.astype(jnp.uint8)
                      | (intra_blk.astype(jnp.uint8) << 1))
     return stability, refresh_ctr, stable_blocks
+
+
+def _np_wrap16(x):
+    return ((x.astype(np.int64) + 0x8000) & 0xFFFF) - 0x8000
+
+
+class _StabReplay:
+    """Host mirror of the cross-GOP stability accumulator chain
+    (encode_stable_blocks state, dsv_encoder.c:345-408 + the refresh
+    increment at dsv_encoder.c:813).
+
+    The chain depends only on HME motion fields and the has_ref verdicts
+    — both functions of the *input* frames, never of the recon chain or
+    the quantizer — so the device outputs feeding it are identical
+    whatever accumulator init the device ran with. That makes optimistic
+    zero-init encodes verifiable after the fact: `gop_init()` yields the
+    true state each GOP's I frame sees, and a GOP needs re-encoding with
+    that state iff the reference would NOT reset at its I frame
+    (0 < refresh_ctr < stable_refresh; a reset erases any init
+    difference, and ctr == 0 implies zeroed accumulators)."""
+
+    def __init__(self, nblk: int, stable_refresh: int,
+                 init: tuple | None = None):
+        self.sr = stable_refresh
+        if init is not None:
+            self.stab = np.array(init[0], np.int32).reshape(nblk, 2)
+            self.ctr = int(init[1])
+        else:
+            self.stab = np.zeros((nblk, 2), np.int32)
+            self.ctr = 0
+
+    def gop_init(self):
+        """(stability, refresh_ctr) entering the next frame, and whether
+        a GOP starting here needs the true init (zero-init invalid)."""
+        return self.stab.copy(), self.ctr, 0 < self.ctr < self.sr
+
+    def _maybe_reset(self):
+        if self.ctr >= self.sr:
+            self.ctr = 0
+            self.stab[:] = 0
+
+    def step_i(self):
+        """I / forced-intra frame: reset check only, no increment."""
+        self._maybe_reset()
+
+    def step_p(self, mode, mvx, mvy, mvflags):
+        """P frame: accumulate quarter-pel magnitudes on inter blocks,
+        lo_tex/lo_var override, then the refresh increment."""
+        self._maybe_reset()
+        inter = mode.reshape(-1) == MODE_INTER
+        ax = np.abs(mvx.reshape(-1).astype(np.int32)) >> 2
+        ay = np.abs(mvy.reshape(-1).astype(np.int32)) >> 2
+        self.stab[:, 0] = _np_wrap16(
+            np.where(inter, self.stab[:, 0] + ax, self.stab[:, 0]))
+        self.stab[:, 1] = _np_wrap16(
+            np.where(inter, self.stab[:, 1] + ay, self.stab[:, 1]))
+        lo = (mvflags.reshape(-1) & 3) != 0
+        self.stab[:, 0] = np.where(lo, 0x3FFF, self.stab[:, 0])
+        self.stab[:, 1] = np.where(lo, 0x3FFF, self.stab[:, 1])
+        self.ctr += 1
+
+    def state(self):
+        return self.stab.copy(), self.ctr
 
 
 @lru_cache(maxsize=8)
@@ -291,6 +358,12 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
             # scan stacks outputs frame-major; callers index [gop, frame]
             outs_p = jax.tree_util.tree_map(
                 lambda a: jnp.moveaxis(a, 0, 1), outs_p)
+            # packed HVS flags for the host's stability-chain replay
+            # (_StabReplay): bit0 lo_tex, bit1 lo_var, bit2 high_detail
+            outs_p["mvflags"] = (
+                (mv_all["lo_tex"] != 0).astype(jnp.uint8)
+                | ((mv_all["lo_var"] != 0).astype(jnp.uint8) << 1)
+                | ((mv_all["high_detail"] != 0).astype(jnp.uint8) << 2))
         else:
             outs_p = None
         return (out_i, outs_p), (stability, refresh_ctr, al_all[:, -1])
@@ -598,19 +671,24 @@ def encode_stream_gops(frames, meta: Metadata,
                        mesh: Mesh | None = None,
                        gops_per_device: int = 0, *,
                        _fnum_base: int = 0, _emit_eos: bool = True,
-                       _return_state: bool = False):
+                       _return_state: bool = False,
+                       _stab_init: tuple | None = None):
     """Encode frames into a full .dsv stream, GOPs in parallel.
 
     frames: sequence of (y, u, v) uint8 planar arrays. CRF is
-    byte-identical to the sequential encoder. ABR runs with GOP-granular
-    rate feedback (_AbrState): spec-valid and on-target, but not
-    byte-identical to the per-frame sequential ABR — use
-    models.encoder.Encoder when reference-exact ABR bytes matter.
+    byte-identical to the sequential encoder for any gop/stable_refresh
+    combination (optimistic zero-init + stability-chain replay, module
+    docstring). ABR runs with GOP-granular rate feedback (_AbrState):
+    spec-valid and on-target, but not byte-identical to the per-frame
+    sequential ABR — use models.encoder.Encoder when reference-exact ABR
+    bytes matter.
 
     The underscore kwargs serve the multi-host shard path
     (parallel/multihost.py): a global frame-number offset, EOS
-    suppression for partial streams, and (stream, last_picture_len)
-    return for O(1) link fixup at mux time.
+    suppression for partial streams, an initial stability-accumulator
+    state for shards that don't start at a refresh boundary, and
+    (stream, last_picture_len, stability_state) return for O(1) link
+    fixup + state threading at mux time.
     """
     cfg = cfg or EncoderConfig()
     abr = cfg.rc_mode != RATE_CONTROL_CRF
@@ -710,7 +788,11 @@ def encode_stream_gops(frames, meta: Metadata,
             out.extend(pkt)
         if _emit_eos:
             out.extend(encode_eos_packet(prev_link))
-        return (bytes(out), prev_link) if _return_state else bytes(out)
+        if _return_state:
+            # gop 0 has no P frames: the stability chain never moves
+            return bytes(out), prev_link, (np.zeros((nbh * nbv, 2),
+                                                    np.int32), 0)
+        return bytes(out)
 
     G = cfg.gop
     levels = cfg.pyramid_levels or auto_pyramid_levels(w, h, nbh, nbv)
@@ -763,7 +845,7 @@ def encode_stream_gops(frames, meta: Metadata,
         quants_dev = jax.device_put(np.full((chunk, 2), quant, np.int32),
                                     in_sharding)
 
-    def dispatch(c, f=None):
+    def dispatch(c, f=None, init=None):
         if abr:
             # quants assigned once per chunk at first dispatch (the
             # dense-overflow redo reuses them), in stream order
@@ -773,8 +855,13 @@ def encode_stream_gops(frames, meta: Metadata,
             quants = chunk_q[c.start][0]
         else:
             quants = quants_dev
+        if init is None:
+            st0, rc0 = stab0, refresh0
+        else:  # stability-chain fix: true per-GOP accumulator state
+            st0 = jax.device_put(init[0], in_sharding)
+            rc0 = jax.device_put(init[1], in_sharding)
         (pk,) = _stage_h2d([c.packed.reshape(chunk, G, -1)], in_sharding)
-        blob = (f or fn)(pk, prev_al, stab0, refresh0, quants)
+        blob = (f or fn)(pk, prev_al, st0, rc0, quants)
         # enqueue D2H right behind the compute so the transfer of
         # chunk k overlaps host packing of chunk k-1
         blob.copy_to_host_async()
@@ -787,12 +874,15 @@ def encode_stream_gops(frames, meta: Metadata,
     depth_fn = ((lambda: 1 if len(rc.pts) < 2
                  else _env_int("DSV1_PREFETCH", 2)) if abr else None)
     calibrated = not abr
+    nblk = nbh * nbv
+    sr_eff = cfg.stable_refresh or max(1, min(G - 1, 14))
+    replay = _StabReplay(nblk, sr_eff, _stab_init)
     for ck, blob in _pipelined(reader, chunk * G, dispatch, depth_fn):
         s = ck.start // G            # chunk's first gop index
         N_cut = ck.start + ck.n_real  # global frame cutoff for this chunk
         ngops = s + div_round(ck.n_real, G)
 
-        def materialize(b):
+        def materialize(b, init=None):
             (oi, op), _ = unpack(jax.device_get(b))
             if "qcomp_i" in oi:
                 overflow = any(np.any(oi["qcomp_i"][c][3] > 0)
@@ -808,10 +898,43 @@ def encode_stream_gops(frames, meta: Metadata,
                         cfg.stable_refresh, cfg.pyramid_levels, key, 0,
                         effort=cfg.effort)
                     (oi, op), _ = unpack_f(
-                        jax.device_get(dispatch(ck, full)))
+                        jax.device_get(dispatch(ck, full, init)))
             return oi, op
 
         out_i, outs_p = materialize(blob)
+
+        # Stability-chain verification (module docstring): replay the
+        # cross-GOP accumulator chain from the fetched motion fields
+        # (init-independent), then re-encode the chunk with the true
+        # per-GOP state iff any GOP's optimistic zero-init was invalid
+        # (the reference would not reset at its I frame — mid-GOP
+        # forced-intra, or stable_refresh not dividing gop-1).
+        fix_init = None
+        if G > 1:
+            inits_s = np.zeros((chunk, nblk, 2), np.int32)
+            inits_c = np.zeros(chunk, np.int32)
+            needs_fix = False
+            for gl in range(chunk):
+                if s + gl >= ngops:
+                    break
+                st_g, ctr_g, bad = replay.gop_init()
+                inits_s[gl], inits_c[gl] = st_g, ctr_g
+                needs_fix |= bad
+                replay.step_i()  # GOP start: statically intra
+                for i in range(1, G):
+                    if (s + gl) * G + i >= N_cut:
+                        break
+                    if outs_p["has_ref"][gl, i - 1]:
+                        replay.step_p(outs_p["mode"][gl, i - 1],
+                                      outs_p["mvx"][gl, i - 1],
+                                      outs_p["mvy"][gl, i - 1],
+                                      outs_p["mvflags"][gl, i - 1])
+                    else:
+                        replay.step_i()
+            if needs_fix:
+                fix_init = (inits_s, inits_c)
+                out_i, outs_p = materialize(
+                    dispatch(ck, init=fix_init), fix_init)
 
         if "qcomp_i" in out_i:
             # fast path: one native call assembles the whole chunk's
@@ -880,7 +1003,8 @@ def encode_stream_gops(frames, meta: Metadata,
                 feed_stats(trial, ql_t)
                 chunk_q[ck.start] = rc.gop_quants(div_round(ck.n_real, G),
                                                   chunk, G)
-                out_i, outs_p = materialize(dispatch(ck))
+                out_i, outs_p = materialize(
+                    dispatch(ck, init=fix_init), fix_init)
 
             if "qcomp_i" in out_i:
                 pkt, prev_link = pack_fast(
@@ -945,4 +1069,6 @@ def encode_stream_gops(frames, meta: Metadata,
                 rc.gop_done(int(quals_f[1][gl, 1]), acc, nf_g)
     if _emit_eos:
         out.extend(encode_eos_packet(prev_link))
-    return (bytes(out), prev_link) if _return_state else bytes(out)
+    if _return_state:
+        return bytes(out), prev_link, replay.state()
+    return bytes(out)

@@ -34,6 +34,26 @@ def make_clip(w, h, subsamp, nframes, seed=0, motion=True):
     return b"".join(frames)
 
 
+def make_clip_frames(w, h, subsamp, nframes, seed=0, cut_at=-1):
+    """make_clip as a list of (y, u, v) planar arrays; cut_at >= 0
+    inverts luma from that frame on (a hard scene cut that forces
+    intra)."""
+    from dsv1_tpu.ops.frame import np_yuv_split
+    from dsv1_tpu.utils.yuv import frame_size
+
+    yuv = make_clip(w, h, subsamp, nframes, seed=seed)
+    fsz = frame_size(w, h, subsamp)
+    frames = []
+    for i in range(nframes):
+        y, u, v = np_yuv_split(
+            np.frombuffer(yuv[i * fsz:(i + 1) * fsz], np.uint8),
+            subsamp, w, h)
+        if cut_at >= 0 and i >= cut_at:
+            y = (255 - y).astype(np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
 FMT_FLAG = {0x0: 0, 0x4: 1, 0x5: 2, 0x8: 3}  # subsamp -> CLI -fmt value
 
 

@@ -93,6 +93,51 @@ def test_intra_parallel_matches_sequential():
     assert par == seq
 
 
+def _scene_cut_frames(w, h, nframes, cut_at, seed=5):
+    rng = np.random.default_rng(seed)
+    frames = []
+    for i in range(nframes):
+        lum = 40 if i < cut_at else 200  # hard cut (forces intra)
+        y = np.clip(lum + rng.integers(-20, 20, (h, w)), 0,
+                    255).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 120, np.uint8)
+        v = np.full((h // 2, w // 2), 130, np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def test_gop_parallel_scene_cut_byte_identical():
+    """A mid-GOP forced-intra frame suppresses the refresh-counter
+    increment, so the next GOP does NOT start at a stability refresh —
+    the stability-chain replay must detect it and re-encode with the
+    carried accumulators, restoring byte parity with the sequential
+    encoder (previously a documented divergence)."""
+    w, h, gop, nframes = 96, 80, 4, 12
+    frames = _scene_cut_frames(w, h, nframes, cut_at=5)
+    meta = Metadata(w, h, SUBSAMP_420)
+    cfg = EncoderConfig(quality=quality_percent(70), gop=gop,
+                        rc_mode=RATE_CONTROL_CRF, stable_refresh=gop - 1)
+    seq = _sequential(frames, meta, cfg)
+    par = encode_stream_gops(frames, meta, cfg)
+    assert par == seq
+
+
+def test_gop_parallel_stabref_not_dividing_byte_identical():
+    """stable_refresh < gop-1 with (gop-1) % stable_refresh != 0: every
+    GOP boundary lands mid-refresh-window (the reference carries the
+    accumulators across), so the replay path re-encodes systematically
+    — still byte-identical to the sequential encoder."""
+    w, h, gop, nframes = 96, 80, 6, 18
+    yuv = corpus.make_clip(w, h, SUBSAMP_420, nframes, seed=13)
+    frames = _frames(yuv, w, h, SUBSAMP_420, nframes)
+    meta = Metadata(w, h, SUBSAMP_420)
+    cfg = EncoderConfig(quality=quality_percent(70), gop=gop,
+                        rc_mode=RATE_CONTROL_CRF, stable_refresh=4)
+    seq = _sequential(frames, meta, cfg)
+    par = encode_stream_gops(frames, meta, cfg)
+    assert par == seq
+
+
 def test_gop_parallel_scene_cut_ref_decodable(tmp_path):
     """A hard scene cut mid-GOP forces intra; the parallel stream must
     decode in the reference decoder (spec validity beyond byte parity)."""

@@ -7,12 +7,14 @@ entry point; this is the wider sweep for documentation.
 """
 import json
 import subprocess
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
 
 ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
 
 
 def _cache():
