@@ -284,15 +284,20 @@ def pack_chunk(fourcc: bytes, version: int, blk_w: int, blk_h: int,
     iq8/ipos/ivals: per-plane lists of [C, ...] arrays (dense int8 intra
     planes + sorted exception lists); pruns/pvals/pcnt: per-plane lists of
     [C, G-1, K] sparse (run, value) arrays + counts. quant: a scalar
-    (constant-quant CRF) or a [C, 2] array of per-gop (I, P) quants
-    (GOP-granular ABR). Returns (bytes, new_prev_link).
+    (constant-quant CRF), a [C, 2] array of per-gop (I, P) quants
+    (GOP-granular ABR), or a [C, G] array of per-frame quants (the exact
+    in-scan ABR law). Returns (bytes, new_prev_link).
     """
     L = lib()
     fcc = np.frombuffer(fourcc, np.uint8)
     meta = np.frombuffer(bytes(meta_pkt), np.uint8)
-    quants = (np.full((C, 2), quant, np.int32) if np.isscalar(quant)
+    quants = (np.full((C, G), quant, np.int32) if np.isscalar(quant)
               else np.ascontiguousarray(quant, np.int32))
-    assert quants.shape == (C, 2)
+    if quants.shape == (C, 2) and G != 2:
+        q2, quants = quants, np.empty((C, G), np.int32)
+        quants[:, :1] = q2[:, :1]
+        quants[:, 1:] = q2[:, 1:2]
+    assert quants.shape == (C, G)
 
     def ptrs(arrs, dt):
         arrs = [np.ascontiguousarray(a, dt) for a in arrs]

@@ -86,9 +86,9 @@ def enc_params():
               "motion search effort beyond the reference (exhaustive "
               "+-2*effort full-pel window). 0 = reference parity"),
         Param("gopabr", 0, 0, 1, None,
-              "ABR on the GOP-parallel device path (rate feedback at "
-              "GOP granularity; faster, not byte-identical to the "
-              "reference's per-frame ABR). 0 = default"),
+              "GOP-granular ABR rate feedback (mesh-shardable, not "
+              "byte-identical). 0 = default: the per-frame ABR law runs "
+              "inside the device scan, byte-identical to the reference"),
     ]
 
 
@@ -208,13 +208,14 @@ def encode_main(argv) -> int:
     maxframe = frno + nfr if nfr > 0 else -1
     nencoded = 0
     # effectively-infinite GOPs (reference DSV_GOP_INF) run sequentially:
-    # the device path compiles a scan of length gop-1. ABR stays on the
-    # reference-exact sequential path unless -gopabr opts into the
-    # GOP-granular parallel rate control (spec-valid, faster, different
-    # bytes than per-frame ABR).
-    par_rc = (rc_mode == C.RATE_CONTROL_CRF
-              or (gop > 0 and bool(_get(params, "gopabr"))))
+    # the device path compiles a scan of length gop-1. ABR runs the
+    # reference's per-frame rate law inside the device scan by default
+    # (byte-identical, parallel/gop.py _encode_abr_exact); -gopabr1 opts
+    # into GOP-granular parallel rate control instead (spec-valid,
+    # mesh-shardable, different bytes than per-frame ABR).
+    par_rc = rc_mode == C.RATE_CONTROL_CRF or gop > 0
     use_par = bool(_get(params, "gopar")) and gop <= 4096 and par_rc
+    abr_mode = "gop" if bool(_get(params, "gopabr")) else "exact"
     import contextlib
     prof = contextlib.nullcontext()
     if opts.get("prof"):
@@ -254,7 +255,8 @@ def encode_main(argv) -> int:
 
         from .parallel import encode_stream_gops
         with prof:
-            out = bytearray(encode_stream_gops(_Frames(), meta, cfg))
+            out = bytearray(encode_stream_gops(_Frames(), meta, cfg,
+                                               abr_mode=abr_mode))
     else:
         enc = Encoder(meta, cfg)
         enc.start()

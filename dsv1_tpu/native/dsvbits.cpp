@@ -643,7 +643,7 @@ int32_t dsv1n_runs_from_dense8(const int8_t* q, int32_t n,
 int32_t dsv1n_pack_chunk(
     const uint8_t* fourcc, uint8_t version,
     int32_t blk_w, int32_t blk_h, int32_t nbh, int32_t nbv,
-    const int32_t* quants, // [C, 2]: I-frame and P-frame quant per gop
+    const int32_t* quants, // [C, G]: per-frame quants (col 0 = I frame)
     int32_t qp_bits,
     const uint8_t* meta_pkt, int32_t meta_len,
     int32_t C, int32_t G, int64_t g0, int64_t ngops, int64_t nframes,
@@ -713,7 +713,7 @@ int32_t dsv1n_pack_chunk(
                                    blk_w, blk_h, nbh, nbv,
                                    istable + (int64_t)g * nblk, 0,
                                    nullptr, nullptr, nullptr, nullptr,
-                                   quants[g * 2], qp_bits, scratch, scap,
+                                   quants[g * G], qp_bits, scratch, scap,
                                    mscratch, mcap);
                 for (int c = 0; c < 3; c++)
                     put_plane_dense8_w(w, q[c], iN[c], ep[c], ev[c], iK[c],
@@ -726,7 +726,7 @@ int32_t dsv1n_pack_chunk(
                                    pstable + fi * nblk, has_ref,
                                    pmode + fi * nblk, pmvx + fi * nblk,
                                    pmvy + fi * nblk, psub + fi * nblk,
-                                   quants[g * 2 + 1], qp_bits, scratch, scap,
+                                   quants[g * G + i], qp_bits, scratch, scap,
                                    mscratch, mcap);
                 for (int c = 0; c < 3; c++)
                     put_plane_sparse16_w(w, pruns[c] + fi * pK[c],

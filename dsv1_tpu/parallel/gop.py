@@ -59,6 +59,8 @@ from ..ops import frame as fr
 from ..ops.hme import hme as hme_run, hme_batch
 from ..ops.hzcc import compact_dense_i as _compact_dense_i
 from ..ops.hzcc import compact_sparse_p as _compact_sparse_p
+from ..ops import piclen as _piclen
+from ..ops import rc as _rc
 from ..ops.opt import blob_concat as _blob_concat
 from ..ops.opt import blob_split as _blob_split
 from ..ops.pallas_hme import use_pallas
@@ -197,7 +199,7 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
                       do_scd: bool = True, scd_delta: int = 4,
                       intra_thresh: int = 50, stable_refresh: int = 0,
                       pyramid_levels: int = 0, compact: int = 1024,
-                      effort: int = 0):
+                      effort: int = 0, rc_key: tuple | None = None):
     """Pure fn encoding one closed CRF GOP of G frames on device.
 
     f(y[G,h,w]u8, u, v, prev_al0 i32, stab0[nblk,2]i32, refresh0 i32)
@@ -232,8 +234,12 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
                 "nintra": jnp.int32(0), "intra_pct": jnp.int32(0)}
 
     def encode_frame(is_p, quant_j, ref_recon, stability, refresh_ctr,
-                     img0, mv, compactor):
-        """Shared I/P frame tail: stability accumulators + encode core."""
+                     img0, mv, compactor, want_len: bool = False,
+                     maybe_p: bool = True):
+        """Shared I/P frame tail: stability accumulators + encode core.
+        want_len additionally computes the exact packed byte size of the
+        picture on device (ops/piclen.py) — the rate-law feedback for the
+        in-scan ABR path."""
         stability, refresh_ctr, stable_blocks = _stable_update(
             stability, refresh_ctr, is_p, mv, stable_refresh)
         margs = (mv["mode"].reshape(-1), mv["mvx"].reshape(-1),
@@ -252,6 +258,10 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
             "stable": stable_blocks,
             "has_ref": is_p,
         }
+        if want_len:
+            out["pic_len"] = _piclen.picture_len(
+                blk_w, blk_h, nbh, nbv, MAX_QP_BITS, stable_blocks, is_p,
+                *margs, qvals, dcs, maybe_p=maybe_p)
         if not compact:
             out["qvals"] = tuple(qvals)
         else:
@@ -263,22 +273,14 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
     compact_p_tagged = ("qcomp_p", lambda qvals: tuple(
         _compact_sparse_p(qv) for qv in qvals))
 
-    def run_batch(packed, prev_al0, stab0, refresh0, quants):
-        """Batched over a leading GOP axis C: packed is (C, G, fsz) u8
-        planar frames (one coalesced H2D transfer per chunk); quants is
-        (C, 2) int32 [I-frame quant, P-frame quant] per GOP — constant
-        in CRF, per-GOP values under GOP-granular ABR.
-
-        The motion path (prep/pyramids, HME, SCD, forced-intra) depends
-        only on consecutive *input* frames, never on the recon chain —
-        so it is hoisted out of the scan and batched over all C*(G-1)
-        P frames at once; on TPU the candidate/9-point search runs as a
-        pallas kernel (ops/pallas_hme.py) with the reference plane
-        resident in VMEM. Only the genuinely serial part — the in-loop
-        recon chain through prediction (dsv_encoder.c:639-674) and the
-        stability accumulators — remains a lax.scan (vmapped over C).
-        The GOP axis is explicit rather than vmapped so the pallas grid
-        sees the whole batch."""
+    def motion(packed):
+        """Input-only path shared by the CRF and exact-ABR batch runners
+        (hoisted out of the recon scan): prep/pyramids, HME batched over
+        all C*(G-1) P frames (on TPU the candidate/9-point search runs
+        as a pallas kernel with the reference plane resident in VMEM,
+        ops/pallas_hme.py), SCD (dsv_encoder.c:538-554) and forced-intra
+        promotion (dsv_encoder.c:219-254) verdicts. Depends only on
+        consecutive *input* frames, never on the recon chain or quant."""
         C = packed.shape[0]
         B = C * G
         y, u, v = _split_planes(packed.reshape(B, -1), subsamp, w, h)
@@ -288,39 +290,53 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
 
         imgs_all, al_all = jax.vmap(prep_one)(y, u, v)
         al_all = al_all.reshape(C, G)
+        if G == 1:
+            return imgs_all, al_all, None, None
 
-        if G > 1:
-            def tails(a):
-                # (C*G, n) -> P-frame (src, ref) pairs flattened to C*(G-1)
-                s = a.reshape(C, G, -1)
-                return (s[:, 1:].reshape(C * (G - 1), -1),
-                        s[:, :-1].reshape(C * (G - 1), -1))
+        def tails(a):
+            # (C*G, n) -> P-frame (src, ref) pairs flattened to C*(G-1)
+            s = a.reshape(C, G, -1)
+            return (s[:, 1:].reshape(C * (G - 1), -1),
+                    s[:, :-1].reshape(C * (G - 1), -1))
 
-            pairs = [tails(a) for a in imgs_all]
-            if use_pallas():
-                mv_all = hme_batch([p[0] for p in pairs],
-                                   [p[1] for p in pairs], layouts,
-                                   blk_w, blk_h, nbh, nbv, subsamp, levels,
-                                   effort=effort)
-            else:
-                def hme_t(sr):
-                    return hme_run(list(sr[0]), list(sr[1]), layouts,
-                                   blk_w, blk_h, nbh, nbv, subsamp, levels,
-                                   effort=effort)
+        pairs = [tails(a) for a in imgs_all]
+        if use_pallas():
+            mv_all = hme_batch([p[0] for p in pairs],
+                               [p[1] for p in pairs], layouts,
+                               blk_w, blk_h, nbh, nbv, subsamp, levels,
+                               effort=effort)
+        else:
+            def hme_t(sr):
+                return hme_run(list(sr[0]), list(sr[1]), layouts,
+                               blk_w, blk_h, nbh, nbv, subsamp, levels,
+                               effort=effort)
 
-                F = max(1, min(C * (G - 1), (6 << 20) // max(w * h, 1)))
-                mv_all = lax.map(hme_t,
-                                 (tuple(p[0] for p in pairs),
-                                  tuple(p[1] for p in pairs)),
-                                 batch_size=F)
-            mv_all = {k: a.reshape((C, G - 1) + a.shape[1:])
-                      for k, a in mv_all.items()}
-            # check_scene_change (dsv_encoder.c:538-554) + forced-intra
-            # promotion (dsv_encoder.c:219-254), both input-only
-            has_ref_all = mv_all["intra_pct"] <= intra_thresh
-            if do_scd:
-                has_ref_all &= (jnp.abs(al_all[:, 1:] - al_all[:, :-1])
-                                <= scd_delta)
+            F = max(1, min(C * (G - 1), (6 << 20) // max(w * h, 1)))
+            mv_all = lax.map(hme_t,
+                             (tuple(p[0] for p in pairs),
+                              tuple(p[1] for p in pairs)),
+                             batch_size=F)
+        mv_all = {k: a.reshape((C, G - 1) + a.shape[1:])
+                  for k, a in mv_all.items()}
+        has_ref_all = mv_all["intra_pct"] <= intra_thresh
+        if do_scd:
+            has_ref_all &= (jnp.abs(al_all[:, 1:] - al_all[:, :-1])
+                            <= scd_delta)
+        return imgs_all, al_all, mv_all, has_ref_all
+
+    def run_batch(packed, prev_al0, stab0, refresh0, quants):
+        """Batched over a leading GOP axis C: packed is (C, G, fsz) u8
+        planar frames (one coalesced H2D transfer per chunk); quants is
+        (C, 2) int32 [I-frame quant, P-frame quant] per GOP — constant
+        in CRF, per-GOP values under GOP-granular ABR.
+
+        The motion path is hoisted out of the scan (see motion());
+        only the genuinely serial part — the in-loop recon chain through
+        prediction (dsv_encoder.c:639-674) and the stability accumulators
+        — remains a lax.scan (vmapped over C). The GOP axis is explicit
+        rather than vmapped so the pallas grid sees the whole batch."""
+        C = packed.shape[0]
+        imgs_all, al_all, mv_all, has_ref_all = motion(packed)
 
         # GOP start: statically intra — XLA folds away its motion path
         qi, qp = quants[:, 0], quants[:, 1]
@@ -391,6 +407,109 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
 
     run.batch = run_blobs
     run.unpack = unpack
+
+    if rc_key is not None:
+        # ------------------------------------------------ exact ABR scan
+        # The reference's per-frame ABR law (dsv_encoder.c:70-168,
+        # 816-848) runs INSIDE the device scan: ops/piclen.py computes
+        # each picture's exact packed byte size from the quantized
+        # tensors, ops/rc.py applies the law, and the quality chain —
+        # the one thing that normally forces a host round trip per frame
+        # — never leaves the chip. GOPs are serially dependent through
+        # the rate state, so the chunk runs as one outer scan over GOPs
+        # (the motion path stays hoisted and batched); byte-identical to
+        # the sequential per-frame ABR encoder by construction.
+        from types import SimpleNamespace
+        (_br, _fn, _fd, _mqs, _mnq, _mxq, _miq, _hmn) = rc_key
+        qfn, sfn = _rc.make_abr_law(
+            SimpleNamespace(bitrate=_br, max_q_step=_mqs, min_quality=_mnq,
+                            max_quality=_mxq, min_I_frame_quality=_miq,
+                            rc_high_motion_nudge=_hmn),
+            SimpleNamespace(fps_num=_fn, fps_den=_fd))
+
+        def run_batch_abr(packed, stab0, refresh0, rc0, prev_al0):
+            """packed (C, G, fsz) u8; stab0 (nblk, 2) i32; refresh0 ()
+            i32; rc0 (8,) i32 (ops/rc.py state layout); prev_al0 () i32
+            (previous frame's average luma — carried because a GOP-start
+            frame whose SCD delta trips counts as *forced* intra for the
+            rate law, dsv_encoder.c:538-554 + 133-141, incl. frame 0
+            against the zero-initialised prev_avg_luma). Returns
+            ((out_i, outs_p), carry) with per-frame 'quant' outputs for
+            the host packer."""
+            C = packed.shape[0]
+            imgs_all, al_all, mv_all, has_ref_all = motion(packed)
+            imgs0 = imgs_all[0].reshape(C, G, -1)
+            zmv1 = zero_mv()
+
+            def gop_step(carry, x):
+                stability, refresh_ctr, rcst, prev_al = carry
+                im_g, al_g, mv_g, hr_g = x
+                if do_scd:
+                    fi_i = jnp.abs(al_g[0] - prev_al) > scd_delta
+                    prev_al = al_g[-1]
+                else:
+                    fi_i = jnp.bool_(False)
+                q_i, rcst = qfn(rcst, jnp.bool_(False), fi_i)
+                quant_i = quant_of_quality(q_i)
+                recon, stability, refresh_ctr, out_i = encode_frame(
+                    jnp.bool_(False), quant_i, fr.alloc_image(layouts[0]),
+                    stability, refresh_ctr, im_g[0], zmv1,
+                    compact_i_tagged, want_len=True, maybe_p=False)
+                rcst = sfn(rcst, jnp.bool_(False), q_i, out_i["pic_len"])
+                out_i["quant"] = quant_i
+
+                def pstep(pc, px):
+                    ref_recon, stability, refresh_ctr, rcst = pc
+                    im, mv1, hr = px
+                    # a P slot that lost has_ref is a forced-intra frame
+                    # (SCD / intra%% promotion): the law boosts quality
+                    # for it (dsv_encoder.c:133-141)
+                    q_p, rcst = qfn(rcst, hr, ~hr)
+                    quant_p = quant_of_quality(q_p)
+                    recon, stability, refresh_ctr, out = encode_frame(
+                        hr, quant_p, ref_recon, stability, refresh_ctr,
+                        im, mv1, compact_p_tagged, want_len=True)
+                    rcst = sfn(rcst, hr, q_p, out["pic_len"])
+                    out["quant"] = quant_p
+                    return (recon, stability, refresh_ctr, rcst), out
+
+                if G > 1:
+                    (_, stability, refresh_ctr, rcst), outs_p = lax.scan(
+                        pstep, (recon, stability, refresh_ctr, rcst),
+                        (im_g[1:], mv_g, hr_g))
+                else:
+                    outs_p = None
+                return (stability, refresh_ctr, rcst, prev_al), (out_i,
+                                                                 outs_p)
+
+            init = (stab0, refresh0, rc0, prev_al0)
+            if G > 1:
+                mv_xs = {k: mv_all[k] for k in
+                         ("mode", "mvx", "mvy", "submask", "lo_tex",
+                          "lo_var", "high_detail")}
+                carry, outs = lax.scan(gop_step, init,
+                                       (imgs0, al_all, mv_xs, has_ref_all))
+            else:
+                def gop_step1(carry, x):
+                    im_g, al_g = x
+                    return gop_step(carry, (im_g, al_g, None, None))
+
+                carry, outs = lax.scan(gop_step1, init, (imgs0, al_all))
+            return outs, carry
+
+        layout_box_abr = {}
+
+        def run_blobs_abr(packed, stab0, refresh0, rc0, prev_al0):
+            tree, carry = run_batch_abr(packed, stab0, refresh0, rc0,
+                                        prev_al0)
+            return (_blob_concat(tree, packed.shape[0], layout_box_abr),
+                    carry)
+
+        def unpack_abr(blob):
+            return _blob_split(blob, layout_box_abr)
+
+        run.batch_abr = run_blobs_abr
+        run.unpack_abr = unpack_abr
     return run
 
 
@@ -666,10 +785,193 @@ def _jit_batched(subsamp, w, h, G, quality, do_scd, scd_delta, intra_thresh,
 _MESHES: dict = {}
 
 
+def _rc_key(cfg: EncoderConfig, meta: Metadata) -> tuple:
+    """Static rate-law parameters (hashable lru key for the builder)."""
+    return (cfg.bitrate, meta.fps_num, meta.fps_den, cfg.max_q_step,
+            cfg.min_quality, cfg.max_quality, cfg.min_I_frame_quality,
+            bool(cfg.rc_high_motion_nudge))
+
+
+@lru_cache(maxsize=8)
+def _jit_batched_abr(subsamp, w, h, G, quality, do_scd, scd_delta,
+                     intra_thresh, stable_refresh, pyramid_levels, rc_key,
+                     compact=1024, effort=0):
+    run = build_gop_encoder(subsamp, w, h, G, quality, do_scd, scd_delta,
+                            intra_thresh, stable_refresh, pyramid_levels,
+                            compact, effort, rc_key)
+    return jax.jit(run.batch_abr), run.unpack_abr
+
+
+def _encode_abr_exact(reader: "_ChunkReader", meta: Metadata,
+                      cfg: EncoderConfig, N: int, gops_per_device: int,
+                      _fnum_base: int, _emit_eos: bool) -> bytes:
+    """Per-frame ABR at device-scan speed, byte-identical to the
+    sequential encoder (models/encoder.py) and therefore to the
+    reference's ABR law (dsv_encoder.c:70-168, 816-848).
+
+    The rate state, stability accumulators and refresh counter live on
+    device and thread from one chunk dispatch to the next as data
+    dependencies — dispatches stay fully async (the H2D upload of chunk
+    k+1 overlaps the scan of chunk k); the host only fetches output
+    blobs for entropy packing. Per-frame quants come back with the blob
+    and feed the native chunk packer.
+
+    DSV1_CHECK_PICLEN=1 additionally cross-checks every device-computed
+    picture length against the packed bytes (used by tests)."""
+    from .. import bits
+    w, h, subsamp = meta.width, meta.height, meta.subsamp
+    blk_w, blk_h, nbh, nbv = block_geometry(w, h)
+    G = cfg.gop
+    ngops_known = div_round(N, G) if N else 0
+    per_dev = gops_per_device or _env_int("DSV1_GOPS_PER_DEVICE", 0) or max(
+        1, min(4, (4 * 352 * 288 * 12) // max(G * w * h, 1),
+               ngops_known or (1 << 30)))
+    chunk = per_dev
+    rck = _rc_key(cfg, meta)
+
+    def jit_abr(compact):
+        return _jit_batched_abr(subsamp, w, h, G, cfg.quality, cfg.do_scd,
+                                cfg.scene_change_delta,
+                                cfg.intra_pct_thresh, cfg.stable_refresh,
+                                cfg.pyramid_levels, rck, compact,
+                                cfg.effort)
+
+    fn, unpack = jit_abr(1024)
+    nblk = nbh * nbv
+    carry_cell = [tuple(jax.device_put(a) for a in (
+        np.zeros((nblk, 2), np.int32), np.asarray(0, np.int32),
+        _rc.init_state(cfg.quality), np.asarray(0, np.int32)))]
+
+    def dispatch(c):
+        (pk,) = _stage_h2d([c.packed.reshape(chunk, G, -1)])
+        cin = carry_cell[0]
+        blob, cout = fn(pk, *cin)
+        carry_cell[0] = cout
+        blob.copy_to_host_async()
+        return pk, blob, cin
+
+    out = bytearray()
+    prev_link = 0
+    meta_pkt = bytes(encode_metadata_packet(meta))
+    check_len = _env_int("DSV1_CHECK_PICLEN", 0)
+
+    for ck, (pk, blob, cin) in _pipelined(reader, chunk * G, dispatch):
+        s = ck.start // G
+        N_cut = ck.start + ck.n_real
+        ngops = s + div_round(ck.n_real, G)
+        out_i, outs_p = unpack(jax.device_get(blob))
+        overflow = any(np.any(out_i["qcomp_i"][c][3] > 0) for c in range(3))
+        if outs_p is not None:
+            overflow |= any(np.any(outs_p["qcomp_p"][c][3])
+                            for c in range(3))
+        if overflow:
+            # rare compaction-cap overflow: redo the chunk densely with
+            # the SAME carry-in (rate/stability outputs are identical —
+            # compaction never feeds the law); downstream dispatches
+            # already chained off the compact run's carry, which is valid
+            fnf, unpackf = jit_abr(0)
+            blob_f, _ = fnf(pk, *cin)
+            out_i, outs_p = unpackf(jax.device_get(blob_f))
+        quants_cg = np.empty((chunk, G), np.int32)
+        quants_cg[:, 0] = out_i["quant"]
+        if G > 1:
+            quants_cg[:, 1:] = outs_p["quant"]
+
+        if "qcomp_i" in out_i:
+            if outs_p is not None:
+                pr = [outs_p["qcomp_p"][c][0] for c in range(3)]
+                pv = [outs_p["qcomp_p"][c][1] for c in range(3)]
+                pc = [outs_p["qcomp_p"][c][2] for c in range(3)]
+                pdc, phr = outs_p["dc"], outs_p["has_ref"]
+                pmo, pmx = outs_p["mode"], outs_p["mvx"]
+                pmy, psu = outs_p["mvy"], outs_p["submask"]
+                pst = outs_p["stable"]
+            else:
+                z16 = np.zeros((chunk, 0, 1), np.uint16)
+                pr, pv = [z16] * 3, [z16.view(np.int16)] * 3
+                pc = [np.zeros((chunk, 0), np.int32)] * 3
+                pdc = np.zeros((chunk, 0, 3), np.int32)
+                phr = np.zeros((chunk, 0), np.uint8)
+                pmo = psu = np.zeros((chunk, 0, 1), np.uint8)
+                pmx = pmy = np.zeros((chunk, 0, 1), np.int16)
+                pst = np.zeros((chunk, 0, 1), np.uint8)
+            pkt, new_link = bits.pack_chunk(
+                FOURCC, VERSION_MINOR, blk_w, blk_h, nbh, nbv,
+                quants_cg, MAX_QP_BITS, meta_pkt, chunk, G, s, ngops,
+                N_cut, _fnum_base, 1,
+                [out_i["qcomp_i"][c][0] for c in range(3)],
+                [out_i["qcomp_i"][c][1] for c in range(3)],
+                [out_i["qcomp_i"][c][2] for c in range(3)],
+                out_i["dc"], out_i["stable"],
+                pr, pv, pc, pdc, phr, pmo, pmx, pmy, psu, pst, prev_link)
+            if check_len:
+                _assert_piclens(pkt, out_i, outs_p, len(meta_pkt), chunk,
+                                G, s, ngops, N_cut)
+            prev_link = new_link
+            out.extend(pkt)
+            continue
+
+        # dense fallback packing (python per-picture path)
+        for gl in range(chunk):
+            g = s + gl
+            if g >= ngops:
+                break
+            out.extend(meta_pkt)
+            for i in range(G):
+                fnum = g * G + i
+                if fnum >= N_cut:
+                    break
+                o = out_i if i == 0 else outs_p
+
+                def fld(name):
+                    return o[name][gl] if i == 0 else o[name][gl, i - 1]
+
+                has_ref = bool(fld("has_ref")) if i else False
+                mv = ({k: fld(k) for k in ("mode", "mvx", "mvy", "submask")}
+                      if has_ref else None)
+                qv = [o["qvals"][c][gl] if i == 0 else o["qvals"][c][gl,
+                                                                     i - 1]
+                      for c in range(3)]
+                pic = pack_picture(_fnum_base + fnum, blk_w, blk_h,
+                                   fld("stable"), has_ref, True, mv,
+                                   int(quants_cg[gl, i]), qv, fld("dc"),
+                                   nbh, nbv)
+                if check_len:
+                    dev_len = int(out_i["pic_len"][gl] if i == 0
+                                  else outs_p["pic_len"][gl, i - 1])
+                    assert dev_len == len(pic), (fnum, dev_len, len(pic))
+                set_link_offsets(pic, prev_link, len(pic))
+                prev_link = len(pic)
+                out.extend(pic)
+    if _emit_eos:
+        out.extend(encode_eos_packet(prev_link))
+    return bytes(out)
+
+
+def _assert_piclens(pkt_bytes, out_i, outs_p, meta_len, chunk, G, s,
+                    ngops, N_cut):
+    """Walk the packed chunk's link chain and compare every picture's
+    byte length against the device-computed pic_len (test hook)."""
+    off = 0
+    for gl in range(chunk):
+        if s + gl >= ngops:
+            break
+        off += meta_len
+        for i in range(G):
+            if (s + gl) * G + i >= N_cut:
+                break
+            plen = int.from_bytes(pkt_bytes[off + 10:off + 14], "big")
+            dev = int(out_i["pic_len"][gl] if i == 0
+                      else outs_p["pic_len"][gl, i - 1])
+            assert dev == plen, ((s + gl) * G + i, dev, plen)
+            off += plen
+
+
 def encode_stream_gops(frames, meta: Metadata,
                        cfg: EncoderConfig | None = None,
                        mesh: Mesh | None = None,
                        gops_per_device: int = 0, *,
+                       abr_mode: str = "exact",
                        _fnum_base: int = 0, _emit_eos: bool = True,
                        _return_state: bool = False,
                        _stab_init: tuple | None = None):
@@ -678,10 +980,14 @@ def encode_stream_gops(frames, meta: Metadata,
     frames: sequence of (y, u, v) uint8 planar arrays. CRF is
     byte-identical to the sequential encoder for any gop/stable_refresh
     combination (optimistic zero-init + stability-chain replay, module
-    docstring). ABR runs with GOP-granular rate feedback (_AbrState):
-    spec-valid and on-target, but not byte-identical to the per-frame
-    sequential ABR — use models.encoder.Encoder when reference-exact ABR
-    bytes matter.
+    docstring). ABR with abr_mode="exact" (default) runs the reference's
+    per-frame rate law *inside* the device scan — the packed size of
+    every picture is computed on device (ops/piclen.py) and fed to the
+    law (ops/rc.py), so streams are byte-identical to the sequential
+    per-frame ABR encoder with zero per-frame host round trips; the rate
+    chain is serial, so this mode is single-device. abr_mode="gop" uses
+    GOP-granular rate feedback (_AbrState): spec-valid, on-target and
+    mesh-shardable, but not byte-identical to per-frame ABR.
 
     The underscore kwargs serve the multi-host shard path
     (parallel/multihost.py): a global frame-number offset, EOS
@@ -701,6 +1007,14 @@ def encode_stream_gops(frames, meta: Metadata,
         # encoder, not a 2^31-step compiled scan
         raise ValueError("GOP too long for the device-resident scan; "
                          "use models.encoder.Encoder")
+    if abr and abr_mode == "exact":
+        if mesh is not None or _return_state:
+            raise ValueError(
+                "exact per-frame ABR is a serial rate chain (single "
+                "device); use abr_mode='gop' for meshes / shard state")
+        N0 = len(frames) if hasattr(frames, "__len__") else 0
+        return _encode_abr_exact(_ChunkReader(frames), meta, cfg, N0,
+                                 gops_per_device, _fnum_base, _emit_eos)
     w, h, subsamp = meta.width, meta.height, meta.subsamp
     # known length (sequence) tightens chunk sizing; iterators/generators
     # stream with constant memory (two chunks in flight)

@@ -37,7 +37,7 @@ def _cfg(kbps):
 def test_gopar_abr_reference_decodable_and_on_target(tmp_path):
     yuv, frames, meta = _setup()
     kbps = 300
-    stream = encode_stream_gops(frames, meta, _cfg(kbps))
+    stream = encode_stream_gops(frames, meta, _cfg(kbps), abr_mode="gop")
     dec = corpus.ref_decode(stream, tmp_path)
     assert len(dec) == len(yuv)
     # achieved rate lands in a sane band around the target (short clip,
@@ -62,5 +62,6 @@ def test_gopar_abr_quality_near_sequential(tmp_path):
     enc = Encoder(meta, cfg)
     enc.start()
     p_seq = psnr(enc.encode_stream(frames))
-    p_par = psnr(encode_stream_gops(frames, meta, _cfg(300)))
+    p_par = psnr(encode_stream_gops(frames, meta, _cfg(300),
+                                    abr_mode="gop"))
     assert p_par > p_seq - 2.0
