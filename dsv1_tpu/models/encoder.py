@@ -261,12 +261,19 @@ def _jit_encode_core(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
 
 
 def make_encode_core_traced(subsamp: int, w: int, h: int, blk_w: int,
-                            blk_h: int, nbh: int, nbv: int):
+                            blk_h: int, nbh: int, nbv: int,
+                            tile_hook=None):
     """Pure fn like make_encode_core but with is_p as a traced operand
     and recon always produced: a single compiled core serves both I and
     P frames in the GOP scan (parallel/gop.py). Computing both level-1
     transforms and selecting is far cheaper than duplicating the whole
     core under a vmapped lax.cond (which executes both branches anyway).
+
+    tile_hook, if given, is `hook(cw, ch) -> constrain` producing a
+    per-level sharding-constraint fn for ops.sbt — the gop×tile 2-D mesh
+    path (parallel/gop.py): each plane's subband transforms run
+    column-sharded over the mesh's 'tile' axis with SPMD-inserted halo
+    exchanges, numerically identical to the unsharded program.
     """
     layout, coef_dims, tables = coef_geometry(subsamp, w, h, nbh, nbv)
 
@@ -276,6 +283,7 @@ def make_encode_core_traced(subsamp: int, w: int, h: int, blk_w: int,
         for c in range(3):
             p = layout.planes[c]
             cw, ch = coef_dims[c]
+            con = tile_hook(cw, ch) if tile_hook is not None else None
             src_ext = fr.plane_view_ext(input_img, layout, c, cw - p.w)
             ref_plane = fr.plane_view(ref_recon_img, layout, c)
             pred = bmc.compensate_plane(
@@ -290,12 +298,13 @@ def make_encode_core_traced(subsamp: int, w: int, h: int, blk_w: int,
                 # p2sbc reads the replicated border column (original edge)
                 edge = src_ext[:p.h, p.w:cw].astype(jnp.int32) - 128
                 coefs = coefs.at[:p.h, p.w:cw].set(edge)
-            coefs = sbt.fwd_sbt(coefs, is_p)
+            coefs = sbt.fwd_sbt(coefs, is_p, constrain=con)
             qv, wb = hzcc.encode_plane_core(coefs, quant, is_p, c,
                                             stable_blocks, tables[c])
             qvals.append(qv)
             dcs.append(coefs[0, 0])
-            rec = sbt.inv_sbt(wb, quant, is_p, is_luma=(c == 0))
+            rec = sbt.inv_sbt(wb, quant, is_p, is_luma=(c == 0),
+                              constrain=con)
             rp = sbt.coefs_to_plane(rec)[:p.h, :p.w]
             rp = jnp.where(is_p, bmc.add_residual(pred, rp), rp)
             recon_planes.append(rp)

@@ -204,17 +204,24 @@ def _b4t_inv_2d(a):
     return _b4t_inv_axis(_b4t_inv_axis(a, 0), 1)
 
 
-def fwd_sbt(coefs, is_p):
+def fwd_sbt(coefs, is_p, constrain=None):
     """dsv_fwd_sbt (sbt.c:630-651) on centered int32 coefs of shape (H, W).
 
     is_p may be traced: level 1 then computes both B4T (intra) and Haar
     and selects — one extra level of work, which lets a whole GOP scan
     share a single compiled core for I and P frames (parallel/gop.py).
+
+    constrain, if given, is `f(a, level) -> a` applied before and after
+    each level — the tile-sharding hook (parallel/gop.py gop×tile mesh):
+    it pins fine levels column-sharded and the coarse tail replicated,
+    so XLA's SPMD partitioner inserts the B4T/Haar halo exchanges.
     """
     H, W = coefs.shape
     lvls = nlevels(W, H)
     a = jnp.asarray(coefs, jnp.int32)
     for i in range(1, lvls + 1):
+        if constrain is not None:
+            a = constrain(a, i)
         if i == 1:
             if isinstance(is_p, bool):
                 a = _haar_fwd_level(a, W, H, i, not is_p) if is_p \
@@ -224,6 +231,8 @@ def fwd_sbt(coefs, is_p):
                               _b4t_fwd_2d(a))
         else:
             a = _haar_fwd_level(a, W, H, i, True)
+        if constrain is not None:
+            a = constrain(a, i)
     return a
 
 
@@ -241,14 +250,16 @@ def _hqp_for_level(q, is_p, i: int):
     return trunc_div(hqp, 2)
 
 
-def inv_sbt(coefs, q, is_p, is_luma: bool):
+def inv_sbt(coefs, q, is_p, is_luma: bool, constrain=None):
     """dsv_inv_sbt (sbt.c:653-714) on int32 coefs; q and is_p may be
     traced (level 1 computes both inverse transforms and selects when
-    is_p is traced)."""
+    is_p is traced). constrain: per-level sharding hook (see fwd_sbt)."""
     H, W = coefs.shape
     lvls = nlevels(W, H)
     a = jnp.asarray(coefs, jnp.int32)
     for i in range(lvls, 0, -1):
+        if constrain is not None:
+            a = constrain(a, i)
         if i > 1:
             a = _haar_inv_level(a, W, H, i, True, filtered=is_luma,
                                 hqp=_hqp_for_level(q, is_p, i)
@@ -267,6 +278,8 @@ def inv_sbt(coefs, q, is_p, is_luma: bool):
                                      hqp=_hqp_for_level(q, is_p, 1)
                                      if is_luma else None)
                 a = jnp.where(is_p, ah, _b4t_inv_2d(a))
+        if constrain is not None:
+            a = constrain(a, i)
     return a
 
 

@@ -9,7 +9,7 @@ recon-chain on a single device as a `lax.scan`.
 
 from .decode import build_gop_decoder, decode_stream_gops, iter_decode_gops
 from .gop import (build_gop_encoder, build_intra_encoder, gop_mesh,
-                  encode_stream_gops)
+                  gop_tile_mesh, encode_stream_gops)
 from .multihost import (EncodedShard, encode_shard, encode_stream_multihost,
                         mux_shards, shard_ranges)
 from .tile import (encode_plane_tiled, fwd_sbt_tiled, inv_sbt_tiled,
@@ -19,5 +19,6 @@ __all__ = ["EncodedShard", "build_gop_decoder", "build_gop_encoder",
            "build_intra_encoder", "decode_stream_gops", "encode_shard",
            "encode_plane_tiled", "encode_stream_gops",
            "encode_stream_multihost", "fwd_sbt_tiled", "gop_mesh",
+           "gop_tile_mesh",
            "inv_sbt_tiled", "iter_decode_gops", "mux_shards",
            "shard_ranges", "tile_mesh"]

@@ -194,12 +194,40 @@ class _StabReplay:
         return self.stab.copy(), self.ctr
 
 
+def _make_tile_hook(mesh: Mesh, axis: str = "tile"):
+    """Per-plane factory of per-level sharding-constraint fns for the
+    gop×tile 2-D mesh (SURVEY.md §5 tile axis): fine subband levels stay
+    column-sharded over `axis` (the Haar is 2x2-local, the B4T's 4-tap
+    halo becomes an SPMD collective-permute), the tiny coarse tail is
+    replicated — the same policy as parallel/tile.py, applied inside the
+    batched GOP pipeline via lax.with_sharding_constraint (which
+    composes under vmap/scan: batch dims stay unconstrained)."""
+    from .tile import _replicate_level
+    from ..ops import sbt as _sbt
+    D = mesh.shape[axis]
+    U = PartitionSpec.UNCONSTRAINED
+
+    def hook(cw: int, ch: int):
+        rep = _replicate_level(cw, ch, _sbt.nlevels(cw, ch), D)
+
+        def con(a, lvl: int):
+            tail = axis if lvl < rep else None
+            spec = PartitionSpec(*([U] * (a.ndim - 1)), tail)
+            return lax.with_sharding_constraint(
+                a, NamedSharding(mesh, spec))
+
+        return con
+
+    return hook
+
+
 @lru_cache(maxsize=8)
 def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
                       do_scd: bool = True, scd_delta: int = 4,
                       intra_thresh: int = 50, stable_refresh: int = 0,
                       pyramid_levels: int = 0, compact: int = 1024,
-                      effort: int = 0, rc_key: tuple | None = None):
+                      effort: int = 0, rc_key: tuple | None = None,
+                      tile_key: int | None = None):
     """Pure fn encoding one closed CRF GOP of G frames on device.
 
     f(y[G,h,w]u8, u, v, prev_al0 i32, stab0[nblk,2]i32, refresh0 i32)
@@ -223,7 +251,10 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
     stable_refresh = stable_refresh or max(1, min(G - 1, 14))
     layouts = list(_pyr_layouts(subsamp, w, h, levels))
     prep = make_prep(subsamp, w, h, levels)
-    core = make_encode_core_traced(subsamp, w, h, blk_w, blk_h, nbh, nbv)
+    tile_hook = (_make_tile_hook(_MESHES[tile_key])
+                 if tile_key is not None else None)
+    core = make_encode_core_traced(subsamp, w, h, blk_w, blk_h, nbh, nbv,
+                                   tile_hook)
     ll_sizes = [int(t.seg_bounds[1])
                 for t in coef_geometry(subsamp, w, h, nbh, nbv)[2]]
 
@@ -300,7 +331,9 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
                     s[:, :-1].reshape(C * (G - 1), -1))
 
         pairs = [tails(a) for a in imgs_all]
-        if use_pallas():
+        # pallas kernels are per-device programs: available under the
+        # shard_map gop path, not under the GSPMD-partitioned tile path
+        if use_pallas() and tile_key is None:
             mv_all = hme_batch([p[0] for p in pairs],
                                [p[1] for p in pairs], layouts,
                                blk_w, blk_h, nbh, nbv, subsamp, levels,
@@ -764,10 +797,37 @@ def gop_mesh(devices=None, axis: str = "gop") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def gop_tile_mesh(n_gop: int, n_tile: int, devices=None) -> Mesh:
+    """2-D (gop × tile) device mesh: GOPs data-parallel over 'gop',
+    each GOP's frames column-sharded over 'tile' inside the subband
+    transforms (SURVEY.md §5: the two scaling axes composed — GOP axis
+    over DCN/outer ICI, tile axis over inner ICI where the halo
+    collectives are cheapest). Intended for frames above ~720p, where a
+    single frame's transform work is large enough to split."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_gop * n_tile > len(devices):
+        raise ValueError(f"need {n_gop * n_tile} devices, "
+                         f"have {len(devices)}")
+    return Mesh(np.asarray(devices[:n_gop * n_tile]).reshape(
+        n_gop, n_tile), ("gop", "tile"))
+
+
 @lru_cache(maxsize=8)
 def _jit_batched(subsamp, w, h, G, quality, do_scd, scd_delta, intra_thresh,
                  stable_refresh, pyramid_levels, mesh_key, compact=1024,
                  effort=0):
+    if mesh_key is not None and "tile" in _MESHES[mesh_key].axis_names:
+        # gop×tile 2-D mesh: GSPMD partitioning end-to-end — the GOP
+        # batch axis is sharded over 'gop' (committed inputs carry it),
+        # and per-level constraints inside the subband transforms
+        # (_make_tile_hook) column-shard each frame over 'tile' with
+        # XLA-inserted halo exchanges. Numerics are identical to the
+        # unsharded program by SPMD semantics (byte-equality tested).
+        run = build_gop_encoder(subsamp, w, h, G, quality, do_scd,
+                                scd_delta, intra_thresh, stable_refresh,
+                                pyramid_levels, compact, effort,
+                                tile_key=mesh_key)
+        return jax.jit(run.batch), run.unpack
     run = build_gop_encoder(subsamp, w, h, G, quality, do_scd, scd_delta,
                             intra_thresh, stable_refresh, pyramid_levels,
                             compact, effort)
@@ -1126,7 +1186,9 @@ def encode_stream_gops(frames, meta: Metadata,
     if abr and not gops_per_device:
         per_dev = 1  # rate feedback per GOP beats batch width
     if mesh is not None:
-        nd = mesh.devices.size
+        # gop×tile meshes batch per gop-row (each GOP's frame work is
+        # split over the tile axis, not replicated per device)
+        nd = mesh.shape.get("gop", mesh.devices.size)
         chunk = per_dev * nd
         key = id(mesh)
         _MESHES[key] = mesh

@@ -68,3 +68,82 @@ def test_encode_plane_tiled_matches_core(is_p):
     np.testing.assert_array_equal(np.asarray(qv_t), np.asarray(qv_r))
     assert int(dc_t) == int(dc_r)
     np.testing.assert_array_equal(np.asarray(rec_t), np.asarray(rec_r))
+
+
+# ---------------------------------------------------------------- 2-D mesh
+def _clip(w, h, n, seed=7):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 200, (h, w), dtype=np.uint8)
+    frames = []
+    for i in range(n):
+        y = np.clip(np.roll(base, 2 * i, axis=1).astype(np.int32)
+                    + rng.integers(-3, 4, (h, w)), 0, 255).astype(np.uint8)
+        u = rng.integers(100, 140, (h // 2, w // 2), dtype=np.uint8)
+        v = rng.integers(100, 140, (h // 2, w // 2), dtype=np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_gop_tile_mesh_encode_byte_identical(shape):
+    """Full GOP-parallel encode over a 2-D (gop × tile) mesh: frames
+    column-sharded inside the subband transforms (SPMD halo exchanges),
+    GOPs data-parallel — byte-identical to the single-device stream."""
+    from dsv1_tpu.constants import RATE_CONTROL_CRF, SUBSAMP_420, \
+        quality_percent
+    from dsv1_tpu.models.encoder import EncoderConfig
+    from dsv1_tpu.models.metadata import Metadata
+    from dsv1_tpu.parallel import encode_stream_gops, gop_tile_mesh
+
+    w, h, G = 352, 288, 3
+    frames = _clip(w, h, 2 * G)
+    meta = Metadata(w, h, SUBSAMP_420)
+    cfg = EncoderConfig(quality=quality_percent(85), gop=G,
+                        rc_mode=RATE_CONTROL_CRF, stable_refresh=G - 1)
+    mesh = gop_tile_mesh(*shape)
+    tiled = encode_stream_gops(frames, meta, cfg, mesh=mesh)
+    single = encode_stream_gops(frames, meta, cfg)
+    assert tiled == single
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("DSV1_SLOW_TESTS"),
+                    reason="~7 min on CPU; set DSV1_SLOW_TESTS=1")
+def test_gop_tile_mesh_1080p_byte_identical():
+    """1080p tiled encode byte-identity (the VERDICT item-3 proof at the
+    tile axis's real operating point; run explicitly, too slow for the
+    default CPU suite)."""
+    from dsv1_tpu.constants import RATE_CONTROL_CRF, SUBSAMP_420, \
+        quality_percent
+    from dsv1_tpu.models.encoder import EncoderConfig
+    from dsv1_tpu.models.metadata import Metadata
+    from dsv1_tpu.parallel import encode_stream_gops, gop_tile_mesh
+
+    w, h, G = 1920, 1080, 2
+    frames = _clip(w, h, G, seed=17)
+    meta = Metadata(w, h, SUBSAMP_420)
+    cfg = EncoderConfig(quality=quality_percent(85), gop=G,
+                        rc_mode=RATE_CONTROL_CRF, stable_refresh=G - 1)
+    mesh = gop_tile_mesh(1, 8)
+    tiled = encode_stream_gops(frames, meta, cfg, mesh=mesh)
+    single = encode_stream_gops(frames, meta, cfg)
+    assert tiled == single
+
+
+def test_gop_tile_mesh_720p_byte_identical():
+    """Large-frame (1280x720, the tile axis's target regime) single-GOP
+    encode on a (1 gop × 8 tile) mesh == single-device bytes."""
+    from dsv1_tpu.constants import RATE_CONTROL_CRF, SUBSAMP_420, \
+        quality_percent
+    from dsv1_tpu.models.encoder import EncoderConfig
+    from dsv1_tpu.models.metadata import Metadata
+    from dsv1_tpu.parallel import encode_stream_gops, gop_tile_mesh
+
+    w, h, G = 1280, 720, 2
+    frames = _clip(w, h, G, seed=13)
+    meta = Metadata(w, h, SUBSAMP_420)
+    cfg = EncoderConfig(quality=quality_percent(85), gop=G,
+                        rc_mode=RATE_CONTROL_CRF, stable_refresh=G - 1)
+    mesh = gop_tile_mesh(1, 8)
+    tiled = encode_stream_gops(frames, meta, cfg, mesh=mesh)
+    single = encode_stream_gops(frames, meta, cfg)
+    assert tiled == single
