@@ -152,10 +152,13 @@ def _jit_prep_hme(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
 
 @lru_cache(maxsize=16)
 def _jit_core_compact(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
-                      nbh: int, nbv: int, has_ref: bool, want_recon: bool):
+                      nbh: int, nbv: int, has_ref: bool, want_recon: bool,
+                      cap_div: int = 128):
     """Encode core with device-side output compaction + blob coalescing:
     P planes as capped sparse (run, value) lists, intra planes as dense
-    int8 + LL exception lists (ops/hzcc.py) — one D2H fetch per frame."""
+    int8 + LL exception lists (ops/hzcc.py) — one D2H fetch per frame.
+    cap_div: sparse cap class from hzcc.sparse_cap_div (at most 3
+    compiled variants)."""
     from ..ops.hzcc import compact_dense_i, compact_sparse_p
     from ..ops.opt import blob_concat
     core = make_encode_core(subsamp, w, h, blk_w, blk_h, nbh, nbv,
@@ -178,7 +181,7 @@ def _jit_core_compact(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
         qvals, dcs, recon = core(input_img, ref_img, quant, stable,
                                  m0, m1, m2, m3)
         if has_ref:
-            comp = tuple(compact_sparse_p(qv) for qv in qvals)
+            comp = tuple(compact_sparse_p(qv, cap_div) for qv in qvals)
         else:
             comp = tuple(compact_dense_i(qv, ll_n)
                          for qv, ll_n in zip(qvals, ll_sizes))
@@ -590,7 +593,8 @@ class Encoder:
         want_recon = is_ref and c.gop != GOP_INTRA
         core, cbox = _jit_core_compact(meta.subsamp, w, h, self.blk_w,
                                        self.blk_h, self.nbh, self.nbv,
-                                       has_ref, want_recon)
+                                       has_ref, want_recon,
+                                       hzcc.sparse_cap_div(quant))
         nblk = self.nbh * self.nbv
         smalls = np.empty(1 + 5 * nblk, np.int32)
         smalls[0] = quant

@@ -340,7 +340,23 @@ def compact_dense_i(qv, ll_n):
     return q8, pos, vs, nbig
 
 
-def compact_sparse_p(qv):
+def sparse_cap_div(quant: int) -> int:
+    """Cap divisor for compact_sparse_p as a function of the operating
+    quant. Measured on the bench corpus (tools/overflow_sweep.py, CIF
+    gop12): P-plane nonzero density stays under 0.35% of coefficients
+    for quant >= 210 (quality <= 90%) but jumps to ~2% at quant 108
+    (quality 95%), overflowing the default n/128 cap on 47/66 planes —
+    each overflow re-runs the whole chunk densely. Widening the cap at
+    high quality trades a bigger (but still small) D2H transfer for
+    never paying the 2x re-encode."""
+    if quant < 160:
+        return 16   # 6.25% cap vs ~2% measured peak
+    if quant < 256:
+        return 32   # 3.1% cap vs 0.35% measured peak
+    return 128
+
+
+def compact_sparse_p(qv, cap_div: int = 128):
     """Capped (zero-run, value) nonzero list (P planes are sparse).
 
     top_k over (n - index) keys instead of jnp.nonzero: identical
@@ -348,9 +364,10 @@ def compact_sparse_p(qv):
     nonzero's lowering (2.1x faster, measured). Runs and values ship
     as 16-bit (the D2H link runs at ~25-45 MB/s with ~25ms/fetch;
     measured counts at qp85 are ~100x below the old int32 caps);
-    range overflow falls back to the dense path like cap overflow."""
+    range overflow falls back to the dense path like cap overflow.
+    cap_div: cap = n/cap_div (sparse_cap_div picks it from the quant)."""
     n = qv.shape[0]
-    K = min(n, max(256, n // 128))
+    K = min(n, max(256, n // cap_div))
     nz = qv != 0
     keys = jnp.where(nz, n - jnp.arange(n, dtype=jnp.int32), 0)
     kk = jax.lax.top_k(keys, K)[0]

@@ -59,6 +59,7 @@ from ..ops import frame as fr
 from ..ops.hme import hme as hme_run, hme_batch
 from ..ops.hzcc import compact_dense_i as _compact_dense_i
 from ..ops.hzcc import compact_sparse_p as _compact_sparse_p
+from ..ops.hzcc import sparse_cap_div as hzcc_cap_div
 from ..ops import piclen as _piclen
 from ..ops import rc as _rc
 from ..ops.opt import blob_concat as _blob_concat
@@ -301,8 +302,13 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
 
     compact_i_tagged = ("qcomp_i", lambda qvals: tuple(
         _compact_dense_i(qv, ll_n) for qv, ll_n in zip(qvals, ll_sizes)))
+    # sparse cap sized to the operating point (tools/overflow_sweep.py):
+    # high quality -> denser P planes -> wider cap, so the dense-redo
+    # fallback stays rare. ABR moves quality at runtime; the start
+    # quality picks the class and the fallback covers excursions.
+    cap_div = hzcc_cap_div(quant_of_quality(quality))
     compact_p_tagged = ("qcomp_p", lambda qvals: tuple(
-        _compact_sparse_p(qv) for qv in qvals))
+        _compact_sparse_p(qv, cap_div) for qv in qvals))
 
     def motion(packed):
         """Input-only path shared by the CRF and exact-ABR batch runners

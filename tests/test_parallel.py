@@ -46,6 +46,23 @@ def test_gop_parallel_matches_sequential(subsamp, nframes, gop):
     assert par == seq
 
 
+def test_gop_parallel_qp95_wide_cap_matches_sequential():
+    """quality 95% (quant 108) is the dense end where P planes used to
+    overflow the n/128 sparse cap on most frames (tools/overflow_sweep);
+    hzcc.sparse_cap_div now widens the cap there — the stream must stay
+    byte-identical and the wide-cap compact path must carry it (no
+    reliance on the dense-redo fallback for correctness either way)."""
+    w, h, subsamp, nframes, gop = 96, 80, SUBSAMP_420, 8, 4
+    yuv = corpus.make_clip(w, h, subsamp, nframes, seed=31)
+    frames = _frames(yuv, w, h, subsamp, nframes)
+    meta = Metadata(w, h, subsamp)
+    cfg = EncoderConfig(quality=quality_percent(95), gop=gop,
+                        rc_mode=RATE_CONTROL_CRF, stable_refresh=gop - 1)
+    seq = _sequential(frames, meta, cfg)
+    par = encode_stream_gops(frames, meta, cfg)
+    assert par == seq
+
+
 @pytest.mark.parametrize("gop", [4, 0])
 def test_pipeline_knobs_byte_identical(gop, monkeypatch):
     """The perf knobs (prefetch depth, parallel-stream H2D staging,
