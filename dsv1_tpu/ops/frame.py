@@ -15,6 +15,7 @@ views are static reshapes; border extension is a vectorized pad.
 from dataclasses import dataclass
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -176,10 +177,15 @@ def ds2x_luma(plane2d, dw: int, dh: int):
     reads (odd source dims read one row/col into the border).
     """
     a = plane2d.astype(jnp.int32)
-    p1 = a[0:2 * dh:2, 0:2 * dw:2]
-    p2 = a[0:2 * dh:2, 1:2 * dw + 1:2]
-    p3 = a[1:2 * dh + 1:2, 0:2 * dw:2]
-    p4 = a[1:2 * dh + 1:2, 1:2 * dw + 1:2]
+    # lax.slice, not strided getitem: `a[r0::2, c0::2]` lowers to a full
+    # elementwise gather (~35x slower on TPU, see ops/sbt.py _slice2).
+    # All four phases share limit (2dh, 2dw): from start 1 the stride-2
+    # count ceil((2d-1)/2) == d, identical indices to the C loop.
+    lim = (2 * dh, 2 * dw)
+    p1 = jax.lax.slice(a, (0, 0), lim, (2, 2))
+    p2 = jax.lax.slice(a, (0, 1), lim, (2, 2))
+    p3 = jax.lax.slice(a, (1, 0), lim, (2, 2))
+    p4 = jax.lax.slice(a, (1, 1), lim, (2, 2))
     return ((p1 + p2 + p3 + p4 + 2) >> 2).astype(jnp.uint8)
 
 

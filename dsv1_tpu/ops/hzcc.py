@@ -123,6 +123,21 @@ def frame_quants(q, is_p, plane_idx: int):
     return qp_ll, qp0, qp1, qp2, qp2h
 
 
+def _set00(a, v):
+    """Set a[0, 0] = v via an elementwise masked select.
+
+    A scalar `at[0, 0].set` lowers to a dynamic-update-slice, which the
+    XLA:CPU SPMD partitioner mis-applies at every shard's local origin
+    when the array is column-sharded (observed under the tiled plane
+    pipeline: row 0 of every shard's first column corrupted). The iota
+    mask is elementwise, partitions correctly, and fuses for free.
+    """
+    H, W = a.shape
+    mask = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+            | jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)) == 0
+    return jnp.where(mask, jnp.asarray(v, a.dtype), a)
+
+
 def tmq4pos(qp, stable):
     """C.2.4 TMQ_for_position (hzcc.c:63-74) + MINQUANT floor."""
     t = jnp.where((stable & 2) != 0, qp >> 2,
@@ -190,7 +205,7 @@ def encode_plane_core(coefs, q, is_p, plane_idx: int, stable_blocks,
     coefs = jnp.asarray(coefs, jnp.int32)
     H, W = coefs.shape
     dc = coefs[0, 0]
-    work = coefs.at[0, 0].set(0)  # hzcc.c:171 src[0] = 0
+    work = _set00(coefs, 0)  # hzcc.c:171 src[0] = 0
     qp_ll, qp0, qp1, qp2, qp2h = frame_quants(q, is_p, plane_idx)
     stable2d = jnp.asarray(stable_blocks, jnp.int32) \
         .reshape(tables.nbv, tables.nbh).astype(jnp.float32)
@@ -214,7 +229,7 @@ def encode_plane_core(coefs, q, is_p, plane_idx: int, stable_blocks,
         wb = jnp.where(qv == 0, 0, wb)
         work = work.at[oy:oy + sh, ox:ox + sw].set(wb)
         qparts.append(qv.reshape(-1))
-    work = work.at[0, 0].set(dc)  # dsv_encode_plane restores raw DC
+    work = _set00(work, dc)  # dsv_encode_plane restores raw DC
     return jnp.concatenate(qparts), work
 
 
@@ -244,7 +259,7 @@ def dequant_plane_grid(qgrid, dc, q, is_p, plane_idx: int, stable_blocks,
                 dq = dequant_hi(vals, jnp.where(st != 0, qp2h, qp2))
         dq = jnp.where(vals == 0, 0, dq)
         out = out.at[oy:oy + sh, ox:ox + sw].set(dq)
-    return out.at[0, 0].set(jnp.asarray(dc, jnp.int32))
+    return _set00(out, jnp.asarray(dc, jnp.int32))
 
 
 def decode_plane_scatter(W: int, H: int, runs: np.ndarray, vals: np.ndarray,

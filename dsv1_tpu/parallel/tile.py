@@ -66,50 +66,30 @@ def _replicate_level(W: int, H: int, levels: int, D: int) -> int:
     return levels + 1
 
 
+def _mk_constrain(shard, repl, rep_lvl: int):
+    """Per-level sharding-constraint hook for ops.sbt's carried-region
+    transforms: fine levels stay column-sharded (Haar is 2x2-local; the
+    B4T's 4-tap halo becomes a collective-permute under SPMD), the
+    coarse tail from rep_lvl on is replicated. Applied to the carried
+    region before and after each level's compute (ops/sbt.py)."""
+    def con(a, lvl: int):
+        return lax.with_sharding_constraint(
+            a, repl if lvl >= rep_lvl else shard)
+
+    return con
+
+
 def _fwd_levels(a, W: int, H: int, is_p: bool, shard, repl, rep_lvl: int):
-    """dsv_fwd_sbt's level loop (sbt.c:630-651) with explicit per-level
-    sharding constraints: fine levels stay column-sharded (Haar is
-    2x2-local; the B4T's 4-tap halo becomes a collective-permute under
-    SPMD), the coarse tail from rep_lvl on is replicated."""
-    lvls = sbt.nlevels(W, H)
-    for i in range(1, lvls + 1):
-        a = lax.with_sharding_constraint(
-            a, repl if i >= rep_lvl else shard)
-        if i == 1:
-            a = sbt._haar_fwd_level(a, W, H, i, not is_p) if is_p \
-                else sbt._b4t_fwd_2d(a)
-        else:
-            a = sbt._haar_fwd_level(a, W, H, i, True)
-        # pin the level *output* too: without it, sharding propagation
-        # re-shards the in-place quadrant update and XLA:CPU's SPMD
-        # partitioner mis-applies the tiny coarse-level update at every
-        # shard's local origin (observed: row 0, first column of each
-        # shard corrupted)
-        a = lax.with_sharding_constraint(
-            a, repl if i >= rep_lvl else shard)
-    return a
+    """dsv_fwd_sbt's level loop (sbt.c:630-651), column-sharded."""
+    return sbt.fwd_sbt(jnp.asarray(a, jnp.int32), is_p,
+                       constrain=_mk_constrain(shard, repl, rep_lvl))
 
 
 def _inv_levels(a, W: int, H: int, q, is_p: bool, is_luma: bool,
                 shard, repl, rep_lvl: int):
-    """dsv_inv_sbt's level loop (sbt.c:653-714) with the same per-level
-    sharding policy as _fwd_levels."""
-    lvls = sbt.nlevels(W, H)
-    for i in range(lvls, 0, -1):
-        a = lax.with_sharding_constraint(
-            a, repl if i >= rep_lvl else shard)
-        hqp = sbt._hqp_for_level(q, is_p, i) if is_luma else None
-        if i > 1:
-            a = sbt._haar_inv_level(a, W, H, i, True, filtered=is_luma,
-                                    hqp=hqp)
-        elif is_p:
-            a = sbt._haar_inv_level(a, W, H, 1, False, filtered=is_luma,
-                                    hqp=hqp)
-        else:
-            a = sbt._b4t_inv_2d(a)
-        a = lax.with_sharding_constraint(
-            a, repl if i >= rep_lvl else shard)  # see _fwd_levels
-    return a
+    """dsv_inv_sbt's level loop (sbt.c:653-714), column-sharded."""
+    return sbt.inv_sbt(jnp.asarray(a, jnp.int32), q, is_p, is_luma,
+                       constrain=_mk_constrain(shard, repl, rep_lvl))
 
 
 @lru_cache(maxsize=32)
