@@ -294,21 +294,48 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
             out["pic_len"] = _piclen.picture_len(
                 blk_w, blk_h, nbh, nbv, MAX_QP_BITS, stable_blocks, is_p,
                 *margs, qvals, dcs, maybe_p=maybe_p)
-        if not compact:
+        if compactor is None:
             out["qvals"] = tuple(qvals)
         else:
             out[compactor[0]] = compactor[1](qvals)
         return recon, stability, refresh_ctr, out
 
     compact_i_tagged = ("qcomp_i", lambda qvals: tuple(
-        _compact_dense_i(qv, ll_n) for qv, ll_n in zip(qvals, ll_sizes)))
+        _compact_dense_i(qv, ll_n) for qv, ll_n in zip(qvals, ll_sizes))) \
+        if compact else None
     # sparse cap sized to the operating point (tools/overflow_sweep.py):
     # high quality -> denser P planes -> wider cap, so the dense-redo
     # fallback stays rare. ABR moves quality at runtime; the start
     # quality picks the class and the fallback covers excursions.
     cap_div = hzcc_cap_div(quant_of_quality(quality))
     compact_p_tagged = ("qcomp_p", lambda qvals: tuple(
-        _compact_sparse_p(qv, cap_div) for qv in qvals))
+        _compact_sparse_p(qv, cap_div) for qv in qvals)) \
+        if compact else None
+
+    def compact_hoisted(out_i, outs_p):
+        """Post-scan compaction for the vmapped CRF batch path.
+
+        top_k / sized-nonzero lower ~7.5x slower under vmap inside the
+        frame scan, even at batch 1 (measured 238 ms vs 32 ms for 11
+        1080p planes — tools/profile_gop_gap.py); the scan therefore
+        emits dense qvals and each plane is compacted afterwards by a
+        lax.map of UNBATCHED calls. The extra HBM for the stacked dense
+        qvals is G x plane int32 (~150 MB at 1080p gop12)."""
+        qv_i = out_i.pop("qvals")  # tuple of (C, n_c)
+        out_i["qcomp_i"] = tuple(
+            lax.map(lambda q, ll=ll_n: _compact_dense_i(q, ll), qv)
+            for qv, ll_n in zip(qv_i, ll_sizes))
+        if outs_p is not None:
+            qv_p = outs_p.pop("qvals")  # tuple of (C, G-1, n_c)
+            comp = []
+            for qv in qv_p:
+                Cb, Gm1 = qv.shape[:2]
+                res = lax.map(lambda q: _compact_sparse_p(q, cap_div),
+                              qv.reshape(Cb * Gm1, -1))
+                comp.append(jax.tree_util.tree_map(
+                    lambda a: a.reshape(Cb, Gm1, *a.shape[1:]), res))
+            outs_p["qcomp_p"] = tuple(comp)
+        return out_i, outs_p
 
     def motion(packed):
         """Input-only path shared by the CRF and exact-ABR batch runners
@@ -384,9 +411,10 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
             lambda a: jnp.broadcast_to(a, (C,) + a.shape), zero_mv())
 
         def frame_i(q1, st, rc, im, mv1):
+            # compaction hoisted out of the vmap (see compact_hoisted)
             return encode_frame(jnp.bool_(False), q1,
                                 fr.alloc_image(layouts[0]), st, rc, im, mv1,
-                                compact_i_tagged)
+                                None)
 
         recon, stability, refresh_ctr, out_i = jax.vmap(frame_i)(
             qi, stab0, refresh0, imgs0[:, 0], zmv)
@@ -396,8 +424,7 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
                 ref_recon, stability, refresh_ctr = carry
 
                 def frame_p(q1, rr, st, rc, im, mv1, hr):
-                    return encode_frame(hr, q1, rr, st, rc, im, mv1,
-                                        compact_p_tagged)
+                    return encode_frame(hr, q1, rr, st, rc, im, mv1, None)
 
                 recon, stability, refresh_ctr, out = jax.vmap(frame_p)(
                     qp, ref_recon, stability, refresh_ctr, *x)
@@ -421,6 +448,8 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
                 | ((mv_all["high_detail"] != 0).astype(jnp.uint8) << 2))
         else:
             outs_p = None
+        if compact:
+            out_i, outs_p = compact_hoisted(out_i, outs_p)
         return (out_i, outs_p), (stability, refresh_ctr, al_all[:, -1])
 
     # D2H through the device link pays ~25ms/fetch plus ~25-45 MB/s
@@ -569,21 +598,38 @@ def build_intra_encoder(subsamp: int, w: int, h: int, quality: int,
     ll_sizes = [int(t.seg_bounds[1])
                 for t in coef_geometry(subsamp, w, h, nbh, nbv)[2]]
 
-    def run(packed):
+    def run_dense(packed):
         imgs, _ = prep(_split_planes(packed, subsamp, w, h))
         stable = jnp.ones(nblk, jnp.uint8)
         z = jnp.zeros(nblk, jnp.int32)
         qvals, dcs, _ = core_i(imgs[0], jnp.int32(0), jnp.int32(quant),
                                stable, z, z, z, z)
-        out = {"dc": jnp.stack([jnp.asarray(d, jnp.int32) for d in dcs])}
-        if not compact:
-            out["qvals"] = tuple(qvals)
-        else:
+        return {"dc": jnp.stack([jnp.asarray(d, jnp.int32) for d in dcs]),
+                "qvals": tuple(qvals)}
+
+    def run(packed):
+        """One frame. Compaction outside the core for vmap composability
+        (sized-nonzero lowers badly under vmap; see compact_hoisted)."""
+        out = run_dense(packed)
+        if compact:
+            qvals = out.pop("qvals")
             out["qcomp_i"] = tuple(
                 _compact_dense_i(qv, ll_n)
                 for qv, ll_n in zip(qvals, ll_sizes))
         return out
 
+    def run_batch(packed):
+        """(K, fsz) frames: vmapped core + lax.map'ed (unbatched)
+        compaction — the fast path for the gop-0 chunk pipeline."""
+        out = jax.vmap(run_dense)(packed)
+        if compact:
+            qvals = out.pop("qvals")
+            out["qcomp_i"] = tuple(
+                lax.map(lambda q, ll=ll_n: _compact_dense_i(q, ll), qv)
+                for qv, ll_n in zip(qvals, ll_sizes))
+        return out
+
+    run.batch = run_batch
     return run
 
 
@@ -1110,7 +1156,7 @@ def encode_stream_gops(frames, meta: Metadata,
         run1 = build_intra_encoder(subsamp, w, h, cfg.quality)
 
         def batch_run(packed):
-            return _blob_concat(jax.vmap(run1)(packed), packed.shape[0],
+            return _blob_concat(run1.batch(packed), packed.shape[0],
                                 layout_box)
 
         vrun = jax.jit(batch_run)
@@ -1133,7 +1179,7 @@ def encode_stream_gops(frames, meta: Metadata,
                 run_f = build_intra_encoder(subsamp, w, h, cfg.quality, 0)
 
                 def batch_f(packed):
-                    return _blob_concat(jax.vmap(run_f)(packed),
+                    return _blob_concat(run_f.batch(packed),
                                         packed.shape[0], box_f)
 
                 o = _blob_split(jax.device_get(jax.jit(batch_f)(c.packed)),
