@@ -149,12 +149,21 @@ def _self_tune(pt):
     set_env(best_c)
 
 
-def _device_only_fps(pt, reps=6):
+def _device_only_fps(pt, reps=None):
     """Encode fps with device-resident inputs and no host packing: the
     chunk-batched jitted encoder (the same executable the e2e path
-    dispatches), timed to blob-ready. Measures what the chip sustains
-    when the stream source/sink is not the tunneled link."""
+    dispatches), measured with the in-jit repetition + differencing
+    methodology of tools/devtime.py. Wall-clock dispatch timing through
+    the tunneled axon link is unreliable (block_until_ready completes
+    optimistically until a fetch forces sync, then every blocked call
+    pays ~40-55 ms round trip); repeating the chunk inside one
+    executable with a serial data dependency and differencing two rep
+    counts cancels the fixed tunnel overhead. Measures what the chip
+    sustains when the stream source/sink is not the tunneled link."""
+    import sys
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
     import jax
+    from devtime import devtime
     from dsv1_tpu.ops.frame import np_pack_planes
     from dsv1_tpu.parallel.gop import (_jit_batched, block_geometry,
                                        crf_quant)
@@ -170,17 +179,13 @@ def _device_only_fps(pt, reps=6):
     chunk = max(1, min(4, (4 * 352 * 288 * 12) // max(G * w * h, 1)))
     packed = np.stack([np_pack_planes(pt["frames"][i % pt["n"]])
                        for i in range(chunk * G)]).reshape(chunk, G, -1)
-    args = [jax.device_put(a) for a in (
+    args = tuple(jax.device_put(a) for a in (
         packed, np.zeros(chunk, np.int32),
         np.zeros((chunk, nbh * nbv, 2), np.int32),
         np.zeros(chunk, np.int32),
-        np.full((chunk, 2), crf_quant(cfg.quality), np.int32))]
-    jax.block_until_ready(fn(*args))  # compile/warm
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        blob = fn(*args)
-    jax.block_until_ready(blob)
-    return chunk * G * reps / (time.perf_counter() - t0)
+        np.full((chunk, 2), crf_quant(cfg.quality), np.int32)))
+    sec_per_chunk = devtime(lambda *a: fn(*a), args, r1=1, r2=4)
+    return chunk * G / max(sec_per_chunk, 1e-9)
 
 
 def _metric(name, fps, ref_fps, parity=None):

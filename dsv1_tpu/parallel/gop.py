@@ -228,7 +228,8 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
                       intra_thresh: int = 50, stable_refresh: int = 0,
                       pyramid_levels: int = 0, compact: int = 1024,
                       effort: int = 0, rc_key: tuple | None = None,
-                      tile_key: int | None = None):
+                      tile_key: int | None = None,
+                      cap_quality: int | None = None):
     """Pure fn encoding one closed CRF GOP of G frames on device.
 
     f(y[G,h,w]u8, u, v, prev_al0 i32, stab0[nblk,2]i32, refresh0 i32)
@@ -307,7 +308,12 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
     # high quality -> denser P planes -> wider cap, so the dense-redo
     # fallback stays rare. ABR moves quality at runtime; the start
     # quality picks the class and the fallback covers excursions.
-    cap_div = hzcc_cap_div(quant_of_quality(quality))
+    # sized to the highest quality the encode can reach: under ABR the
+    # runtime quality can exceed the start quality, and an undersized
+    # cap pays the dense re-encode on every chunk (cap_quality = the
+    # rate law's upper bound, cfg.max_quality; None = CRF, fixed)
+    cap_div = hzcc_cap_div(quant_of_quality(
+        quality if cap_quality is None else max(quality, cap_quality)))
     compact_p_tagged = ("qcomp_p", lambda qvals: tuple(
         _compact_sparse_p(qv, cap_div) for qv in qvals)) \
         if compact else None
@@ -867,7 +873,7 @@ def gop_tile_mesh(n_gop: int, n_tile: int, devices=None) -> Mesh:
 @lru_cache(maxsize=8)
 def _jit_batched(subsamp, w, h, G, quality, do_scd, scd_delta, intra_thresh,
                  stable_refresh, pyramid_levels, mesh_key, compact=1024,
-                 effort=0):
+                 effort=0, cap_quality=None):
     if mesh_key is not None and "tile" in _MESHES[mesh_key].axis_names:
         # gop×tile 2-D mesh: GSPMD partitioning end-to-end — the GOP
         # batch axis is sharded over 'gop' (committed inputs carry it),
@@ -878,11 +884,11 @@ def _jit_batched(subsamp, w, h, G, quality, do_scd, scd_delta, intra_thresh,
         run = build_gop_encoder(subsamp, w, h, G, quality, do_scd,
                                 scd_delta, intra_thresh, stable_refresh,
                                 pyramid_levels, compact, effort,
-                                tile_key=mesh_key)
+                                tile_key=mesh_key, cap_quality=cap_quality)
         return jax.jit(run.batch), run.unpack
     run = build_gop_encoder(subsamp, w, h, G, quality, do_scd, scd_delta,
                             intra_thresh, stable_refresh, pyramid_levels,
-                            compact, effort)
+                            compact, effort, cap_quality=cap_quality)
     if mesh_key is None:
         return jax.jit(run.batch), run.unpack
     # per-device closed-GOP batches: shard_map so each device runs its own
@@ -910,7 +916,8 @@ def _jit_batched_abr(subsamp, w, h, G, quality, do_scd, scd_delta,
                      compact=1024, effort=0):
     run = build_gop_encoder(subsamp, w, h, G, quality, do_scd, scd_delta,
                             intra_thresh, stable_refresh, pyramid_levels,
-                            compact, effort, rc_key)
+                            compact, effort, rc_key,
+                            cap_quality=rc_key[5])  # cfg.max_quality
     return jax.jit(run.batch_abr), run.unpack_abr
 
 
@@ -1109,6 +1116,14 @@ def encode_stream_gops(frames, meta: Metadata,
     fixup + state threading at mux time.
     """
     cfg = cfg or EncoderConfig()
+    if mesh is not None and "tile" in mesh.axis_names \
+            and "gop" not in mesh.axis_names:
+        # a tile-only mesh would route into the gop×tile branch and die
+        # later in an opaque NamedSharding(PartitionSpec('gop')) error;
+        # the composed 2-D path needs both axes (gop_tile_mesh). For
+        # plane-level tile sharding use parallel.tile directly.
+        raise ValueError("mesh has a 'tile' axis but no 'gop' axis; "
+                         "build it with gop_tile_mesh(n_gop, n_tile)")
     abr = cfg.rc_mode != RATE_CONTROL_CRF
     if abr and cfg.gop == GOP_INTRA:
         raise ValueError("GOP-parallel ABR needs gop > 0; "
@@ -1265,7 +1280,8 @@ def encode_stream_gops(frames, meta: Metadata,
     fn, unpack = _jit_batched(subsamp, w, h, G, cfg.quality, cfg.do_scd,
                               cfg.scene_change_delta, cfg.intra_pct_thresh,
                               cfg.stable_refresh, cfg.pyramid_levels, key,
-                              effort=cfg.effort)
+                              effort=cfg.effort,
+                              cap_quality=cfg.max_quality if abr else None)
     if abr:
         rc = _AbrState(cfg, meta)
         chunk_q: dict = {}

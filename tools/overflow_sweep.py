@@ -83,10 +83,14 @@ def main():
             from dsv1_tpu.models.encoder import coef_geometry
             ll_n = int(coef_geometry(SUBSAMP_420, w, h, nbh, nbv)[2][c]
                        .seg_bounds[1])
-            big = (np.abs(qi[:, :ll_n]) > 127).sum(axis=-1) \
-                + (np.abs(qi[:, ll_n:]) > 127).sum(axis=-1)
-            ll_exc = max(ll_exc, int(big.max()))
-            ovf_d += (big > min(256, ll_n)).sum()
+            # mirror compact_dense_i's fallback condition exactly:
+            # ANY |q|>127 outside LL overflows, and LL exceptions only
+            # up to the K=min(256, ll_n) cap fit the exception list
+            big_ll = (np.abs(qi[:, :ll_n]) > 127).sum(axis=-1)
+            big_hi = (np.abs(qi[:, ll_n:]) > 127).sum(axis=-1)
+            ll_exc = max(ll_exc, int(big_ll.max()))
+            K = min(256, ll_n)
+            ovf_d += ((big_hi > 0) | (big_ll > K)).sum()
             n_i += qi.shape[0]
         dens = np.concatenate([d.ravel() for d in dens])
         print(f"| {qp} | {crf_quant(quality)} | "
