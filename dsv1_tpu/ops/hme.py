@@ -526,6 +526,100 @@ def _base_tail(gi, gj, bx, by, bw_c, bh_c, inframe, best, srcw, srcw14,
     return out
 
 
+def refine_base_from_kernel(src_img, ref_img, layout: FrameLayout,
+                            blk_w: int, blk_h: int, nbh: int, nbv: int,
+                            subsamp: int, kouts):
+    """Finish level 0 from the pallas base kernel's per-block outputs
+    (ops/pallas_hme.py _base_kernel): only the chroma-variance cascade
+    term (hme.c:667-682, needs the chroma planes) and the neighbour-
+    coupled high_detail second pass (hme.c:620-648) remain in XLA."""
+    from .pallas_hme import (FLAG_GO_INTRA, FLAG_LO_TEX, FLAG_LO_VAR,
+                             FLAG_NOT_INTRA)
+    mvx, mvy, flags, qbits, luma_tex, src_var = kouts
+    p = layout.planes[0]
+    w, h = p.w, p.h
+    gj, gi = jnp.meshgrid(jnp.arange(nbv), jnp.arange(nbh), indexing="ij")
+    gi_f, gj_f = runtime(gi.reshape(-1), gj.reshape(-1))
+    bx = gi_f * blk_w
+    by = gj_f * blk_h
+    inframe = (bx < w) & (by < h)
+    bw_c = jnp.clip(w - bx, 0, blk_w)
+    bh_c = jnp.clip(h - by, 0, blk_h)
+
+    # chroma variance check (hme.c:667-682)
+    hs, vs = format_h_shift(subsamp), format_v_shift(subsamp)
+    cbx = gi_f * (blk_w >> hs)
+    cby = gj_f * (blk_h >> vs)
+    cbw = blk_w >> hs
+    cbh = blk_h >> vs
+    ccw = bw_c >> hs
+    cch = bh_c >> vs
+    cvars = []
+    for img in (src_img, ref_img):
+        vs_ = []
+        for c in (1, 2):
+            wv = _window(img, layout, c, cbx, cby, cbw, cbh)
+            vs_.append(_y_sqrvar(wv, ccw, cch, cbw, cbh))
+        cvars.append(jnp.maximum(vs_[0], vs_[1]))
+    cvarS, cvarR = cvars
+
+    go_intra = ((flags & FLAG_GO_INTRA) != 0) | (cvarR > 4 * cvarS)
+    not_intra_after_test = (flags & FLAG_NOT_INTRA) != 0
+    lo_tex = ((flags & FLAG_LO_TEX) != 0).astype(jnp.int32)
+    lo_var = ((flags & FLAG_LO_VAR) != 0).astype(jnp.int32)
+    submask = MASK_ALL_INTRA & ~qbits
+    is_intra = (go_intra & ~not_intra_after_test & (submask != 0)
+                & inframe)
+    mode = jnp.where(is_intra, MODE_INTRA, MODE_INTER).astype(jnp.int32)
+    submask = jnp.where(is_intra, submask, 0)
+    mvx = jnp.where(inframe, mvx, 0)
+    mvy = jnp.where(inframe, mvy, 0)
+
+    # second pass: high_detail from left/top/topleft (hme.c:620-648),
+    # identical to _base_tail
+    def grid(x, fill=0):
+        g = jnp.full((nbv, nbh), fill, x.dtype)
+        return g.at[gj_f, gi_f].set(x)
+
+    g_mode = grid(mode)
+    g_lotex = grid(lo_tex)
+    g_lovar = grid(lo_var)
+    strong = (g_mode == MODE_INTER) & (g_lotex == 0) & (g_lovar == 0)
+
+    def shifted(a, dy_, dx_, fill=False):
+        out = jnp.full_like(a, fill)
+        return out.at[dy_:, dx_:].set(a[:a.shape[0] - dy_,
+                                        :a.shape[1] - dx_])
+
+    left = shifted(strong, 0, 1)
+    top = shifted(strong, 1, 0)
+    topleft = shifted(strong, 1, 1)
+    HP = HP_SAD_SZ
+    thresh_var = jnp.full((nbv, nbh), HP * HP, jnp.int32)
+    thresh_tex = jnp.ones((nbv, nbh), jnp.uint32)
+    thresh_var = jnp.where(left, thresh_var * HP, thresh_var)
+    thresh_tex = thresh_tex + left
+    thresh_var = jnp.where(top, thresh_var * HP, thresh_var)
+    thresh_tex = thresh_tex + top
+    thresh_var = jnp.where(topleft, thresh_var * (HP // 4), thresh_var)
+    thresh_tex = thresh_tex + topleft
+    g_ltex = grid(luma_tex.astype(jnp.uint32))
+    g_svar = grid(src_var)
+    high_detail = ((g_ltex > thresh_tex) & (g_svar > thresh_var)
+                   & grid(inframe))
+
+    return {
+        "mode": g_mode,
+        "mvx": grid(mvx),
+        "mvy": grid(mvy),
+        "submask": grid(submask),
+        "lo_tex": g_lotex,
+        "lo_var": g_lovar,
+        "high_detail": high_detail.astype(jnp.int32),
+        "nintra": jnp.sum(is_intra.astype(jnp.int32)),
+    }
+
+
 def hme(src_imgs, ref_imgs, layouts, blk_w: int, blk_h: int,
         nbh: int, nbv: int, subsamp: int, levels: int, effort: int = 0):
     """dsv_hme (hme.c:730-741): top-down refinement over the pyramid.
@@ -650,14 +744,30 @@ def hme_batch(src_flats, ref_flats, layouts, blk_w: int, blk_h: int,
         cmy = jnp.zeros((B, nb, 1), jnp.int32)
     else:
         cmx, cmy = _build_cands_batched(0, mvf, nbh, nbv)
-    dx, dy, best = refine_level_pallas(src2d, ref2d, cmx, cmy, lay, 0,
-                                       blk_w, blk_h, nbh, nb, interpret)
 
-    def base_one(src_img, ref_img, d1, d2, b1):
-        return refine_base(None, src_img, ref_img, lay, blk_w, blk_h,
-                           nbh, nbv, subsamp, pre=(d1, d2, b1),
-                           effort=effort)
+    if effort == 0:
+        # level 0 fully in-kernel: candidates + 9-point + half-pel +
+        # luma HVS cascade (ops/pallas_hme.py _base_kernel); XLA keeps
+        # only the chroma term and the neighbour-coupled second pass
+        from .pallas_hme import refine_base_pallas
+        kouts = refine_base_pallas(src2d, ref2d, cmx, cmy, lay,
+                                   blk_w, blk_h, nbh, nb, interpret)
 
-    out = jax.vmap(base_one)(src_flats[0], ref_flats[0], dx, dy, best)
+        def base_one(src_img, ref_img, *k1):
+            return refine_base_from_kernel(src_img, ref_img, lay, blk_w,
+                                           blk_h, nbh, nbv, subsamp, k1)
+
+        out = jax.vmap(base_one)(src_flats[0], ref_flats[0], *kouts)
+    else:
+        dx, dy, best = refine_level_pallas(src2d, ref2d, cmx, cmy, lay, 0,
+                                           blk_w, blk_h, nbh, nb,
+                                           interpret)
+
+        def base_one(src_img, ref_img, d1, d2, b1):
+            return refine_base(None, src_img, ref_img, lay, blk_w, blk_h,
+                               nbh, nbv, subsamp, pre=(d1, d2, b1),
+                               effort=effort)
+
+        out = jax.vmap(base_one)(src_flats[0], ref_flats[0], dx, dy, best)
     out["intra_pct"] = out["nintra"] * 100 // (nbh * nbv)
     return out

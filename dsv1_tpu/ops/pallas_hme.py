@@ -226,3 +226,383 @@ def refine_level_pallas(src2d, ref2d, cmx, cmy, layout: FrameLayout,
                        blk_w, blk_h, NC, level, interpret)
     dx, dy, best = call(cm, src2d, ref2d)
     return (dx[:, 0, :nb], dy[:, 0, :nb], best[:, 0, :nb])
+
+
+# ---------------------------------------------------------------- level 0
+# Half-pel search-point tables (hme.c:27-30,543-597) — must match
+# ops/hme.py XH/YH. Decomposed per point into the static full-pel window
+# origin offset (xh >> 1, yh >> 1) and half-pel phase (xh & 1, yh & 1):
+# X = 2*(cx+dx) + xh  =>  X >> 1 = (cx+dx) + (xh >> 1), X & 1 = xh & 1.
+XH = (1, -1, 0, 0, -1, 1, -1, 1)
+YH = (0, 0, 1, -1, -1, -1, 1, 1)
+HP = 14      # HP_SAD_SZ
+NB_W = 24    # half-pel neighbourhood load (>= HP + 2 origin + 3 taps)
+
+# flag bit layout of the base kernel's `flags` output
+FLAG_GO_INTRA = 1   # luma intra-cascade verdict (chroma term added in XLA)
+FLAG_NOT_INTRA = 2  # block_intra_test says the block can't survive intra
+FLAG_LO_TEX = 4
+FLAG_LO_VAR = 8
+FLAG_HP_HIT = 16
+
+
+# Mosaic has no unsigned reductions/div, but two's-complement int32
+# addition/multiplication wrap bit-identically to uint32, so the
+# reference's u32 math runs on int32 bit patterns with explicit
+# unsigned division / comparison where the interpretation matters.
+
+
+def _udiv(a, b):
+    """Unsigned a // b on int32 bit patterns (b positive, small)."""
+    half = jax.lax.shift_right_logical(a, 1)
+    q = 2 * jax.lax.div(half, b)
+    r = a - q * b  # in [0, 2b+1): exact despite a's wrap
+    q = q + (r >= b).astype(jnp.int32)
+    r = r - jnp.where(r >= b, b, 0)
+    return q + (r >= b).astype(jnp.int32)
+
+
+def _ugt(a, b):
+    """Unsigned a > b on int32 bit patterns (sign-bit flip trick)."""
+    m = jnp.int32(-2**31)
+    return (a ^ m) > (b ^ m)
+
+
+def _texture14(a):
+    """block_texture (hme.c:180-210) on a 14x14 int32 window in VMEM.
+
+    Returns (tex, avg, var) int32 scalars; var carries the reference's
+    u32 wrap bit pattern (s*s wraps for bright windows)."""
+    s = jnp.sum(a)                      # <= 255*196, no wrap
+    ss = jnp.sum(a * a)                 # <= 12.7M, no wrap
+    sh = jnp.sum(jnp.abs(a[:, 1:] - a[:, :-1]))
+    sv = jnp.sum(jnp.abs(a[1:, :] - a[:-1, :]))
+    n = jnp.int32(HP * HP)
+    tex = jax.lax.div(jax.lax.div(sh + sv, jnp.int32(2)), n)
+    avg = jax.lax.div(s, n)
+    var = ss - _udiv(s * s, n)          # s*s wraps like the C's u32
+    return tex, avg, var
+
+
+def _base_kernel(cm_ref, src_ref, ref_ref, mvx_ref, mvy_ref, flags_ref,
+                 qbits_ref, ltex_ref, svar_ref, *, EH: int, S: int, E: int,
+                 w: int, h: int, nbh_l: int, BW: int, BH: int, NC: int):
+    """Level-0 kernel: candidate select + 9-point full-pel + 8-point
+    half-pel refine + the whole luma HVS intra cascade (hme.c:543-722),
+    per block, with both planes resident in VMEM.
+
+    Replaces the XLA refine_base's half-pel variant planes, the batched
+    variant-window gathers and the per-block window fetches (zero-MV,
+    quadrant, 14x14 centre) — measured ~55 ms of an 11-frame 1080p GOP's
+    92 ms HME. Chroma variance (hme.c:667-682) needs the chroma planes
+    and stays in XLA; its cascade term ORs into FLAG_GO_INTRA there.
+    """
+    c = pl.program_id(1)
+    imax = jnp.int32(2**31 - 1)
+    b = FRAME_BORDER
+    cols = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 0)
+    colsq = jax.lax.broadcasted_iota(jnp.int32, (BH // 2, BW // 2), 1)
+    rowsq = jax.lax.broadcasted_iota(jnp.int32, (BH // 2, BW // 2), 0)
+
+    def load(ref, rr, cc, H_: int, W_: int):
+        # aligned-superset load + rotate (see _refine_kernel.load)
+        r8 = pl.multiple_of(rr & ~7, 8)
+        c128 = pl.multiple_of(cc & ~127, 128)
+        RH = ((H_ + 8 + 7) // 8) * 8
+        LW = ((W_ + 128 + 127) // 128) * 128
+        big = ref[0, pl.ds(r8, RH), pl.ds(c128, LW)].astype(jnp.int32)
+        big = pltpu.roll(big, -(cc - c128), axis=1)
+        off = rr - r8
+        win = big[0:H_]
+        for o in range(1, 8):
+            win = jnp.where(off == o, big[o:o + H_], win)
+        return win[:, :W_]
+
+    def body(i, _):
+        t = c * CHUNK + i
+        gi = jax.lax.rem(t, nbh_l)
+        gj = jax.lax.div(t, nbh_l)
+        bx = gi * BW
+        by = gj * BH
+        inframe = (bx < w) & (by < h)
+        bw_c = jnp.clip(w - bx, 0, BW)
+        bh_c = jnp.clip(h - by, 0, BH)
+        colm = cols < bw_c
+        rowm = rows < bh_c
+        srcw = load(src_ref, jnp.clip(E + by, 0, EH - BH),
+                    jnp.clip(E + bx, 0, S - BW), BH, BW)
+
+        # --- candidate SADs (hme.c:452-510)
+        bsad = imax
+        bk = jnp.int32(0)
+        for k in range(NC):
+            mx = cm_ref[0, i, k]
+            my = cm_ref[0, i, NC + k]
+            rx = bx + mx
+            ry = by + my
+            ok = ((rx >= -b) & (ry >= -b) & (rx + bw_c <= w + b)
+                  & (ry + bh_c <= h + b) & inframe)
+            refw = load(ref_ref, jnp.clip(E + ry, 0, EH - BH),
+                        jnp.clip(E + rx, 0, S - BW), BH, BW)
+            sad = jnp.where(ok, _masked_sad(srcw, refw, colm, rowm), imax)
+            take = sad < bsad
+            bk = jnp.where(take, jnp.int32(k), bk)
+            bsad = jnp.where(take, sad, bsad)
+        bdx = jnp.int32(0)
+        bdy = jnp.int32(0)
+        for k in range(NC):
+            sel = bk == k
+            bdx = jnp.where(sel, cm_ref[0, i, k], bdx)
+            bdy = jnp.where(sel, cm_ref[0, i, NC + k], bdy)
+        bdx = jnp.clip(bdx, -bw_c - bx, w - bx)
+        bdy = jnp.clip(bdy, -bh_c - by, h - by)
+
+        # --- 9-point refine (hme.c:526-541)
+        rr = jnp.clip(E + by + bdy - 1, 0, EH - (BH + 2))
+        cc = jnp.clip(E + bx + bdx - 1, 0, S - (BW + 2))
+        padw = load(ref_ref, rr, cc, BH + 2, BW + 2)
+        best = imax
+        m9 = jnp.int32(0)
+        for k in range(9):
+            oy, ox = YF[k] + 1, XF[k] + 1
+            sad = _masked_sad(srcw, padw[oy:oy + BH, ox:ox + BW], colm,
+                              rowm)
+            take = sad < best
+            m9 = jnp.where(take, jnp.int32(k), m9)
+            best = jnp.where(take, sad, best)
+        ox9 = jnp.int32(0)
+        oy9 = jnp.int32(0)
+        for k in range(9):
+            sel = m9 == k
+            ox9 = jnp.where(sel, jnp.int32(XF[k]), ox9)
+            oy9 = jnp.where(sel, jnp.int32(YF[k]), oy9)
+        dx = bdx + ox9
+        dy = bdy + oy9
+
+        # --- half-pel refine (hme.c:543-597 / ops/hme.py refine_base)
+        yarea = (bw_c * bh_c).astype(jnp.int32)
+        yareasq = yarea * yarea  # <= 4096^2, no wrap
+        cx = bx + (bw_c >> 1) - HP // 2
+        cy = by + (bh_c >> 1) - HP // 2
+        srcw14 = load(src_ref, jnp.clip(E + cy, 0, EH - HP),
+                      jnp.clip(E + cx, 0, S - HP), HP, HP)
+
+        # one (NB_W, NB_W) neighbourhood at (cy+dy-2, cx+dx-2) covers all
+        # eight half-pel windows and their 4-tap supports
+        A = cx + dx
+        Bc = cy + dy
+        nb_ = load(ref_ref, jnp.clip(E + Bc - 2, 0, EH - NB_W),
+                   jnp.clip(E + A - 2, 0, S - NB_W), NB_W, NB_W)
+        # D.1.1 luma half-pel filters (bmc.c:112-174), 2-D window form
+        h8 = jnp.clip((9 * (nb_[:, 1:-2] + nb_[:, 2:-1])
+                       - (nb_[:, :-3] + nb_[:, 3:]) + 8) >> 4, 0, 255)
+        v8 = jnp.clip((9 * (nb_[1:-2, :] + nb_[2:-1, :])
+                       - (nb_[:-3, :] + nb_[3:, :]) + 8) >> 4, 0, 255)
+        hu = (9 * (nb_[:, 1:-2] + nb_[:, 2:-1])
+              - (nb_[:, :-3] + nb_[:, 3:]))
+        d8 = jnp.clip((9 * (hu[1:-2, :] + hu[2:-1, :])
+                       - (hu[:-3, :] + hu[3:, :]) + 128) >> 8, 0, 255)
+        # index maps into the trimmed grids: a0/v8 keep full columns,
+        # h8/d8 lose 1 leading column; v8/d8 lose 1 leading row. Window
+        # origin in nb_ coords is (2 + (yh>>1), 2 + (xh>>1)).
+
+        def hp_window(k):
+            xh, yh = XH[k], YH[k]
+            r0 = 2 + (yh >> 1)
+            c0 = 2 + (xh >> 1)
+            phx, phy = xh & 1, yh & 1
+            if phx and phy:
+                return d8[r0 - 1:r0 - 1 + HP, c0 - 1:c0 - 1 + HP]
+            if phx:
+                return h8[r0:r0 + HP, c0 - 1:c0 - 1 + HP]
+            if phy:
+                return v8[r0 - 1:r0 - 1 + HP, c0:c0 + HP]
+            return nb_[r0:r0 + HP, c0:c0 + HP]  # pragma: no cover
+
+        do_hp = (best > BW * BH) & inframe
+        best_hp0 = jax.lax.div(best * (HP * HP), jnp.maximum(yarea, 1))
+        run_best = best_hp0
+        run_m = jnp.int32(-1)
+        wins = []
+        for k in range(8):
+            wk = hp_window(k)
+            wins.append(wk)
+            s = jnp.sum(jnp.abs(srcw14 - wk))
+            take = s < run_best
+            run_m = jnp.where(take, jnp.int32(k), run_m)
+            run_best = jnp.where(take, s, run_best)
+        hp_hit = do_hp & (run_m >= 0)
+        mvx = jnp.int32(dx << 1)
+        mvy = jnp.int32(dy << 1)
+        for k in range(8):
+            sel = hp_hit & (run_m == k)
+            mvx = jnp.where(sel, (dx << 1) + XH[k], mvx)
+            mvy = jnp.where(sel, (dy << 1) + YH[k], mvy)
+        best = jnp.where(
+            hp_hit, jax.lax.div(run_best * yarea, jnp.int32(HP * HP)),
+            best)
+
+        # --- refblock stats: centre window of the chosen prediction
+        ctr = nb_[2:2 + HP, 2:2 + HP]
+        rtex, ravg, rvar = _texture14(ctr)
+        for k in range(8):
+            tk, ak, vk = _texture14(wins[k])
+            sel = hp_hit & (run_m == k)
+            rtex = jnp.where(sel, tk, rtex)
+            ravg = jnp.where(sel, ak, ravg)
+            rvar = jnp.where(sel, vk, rvar)
+        stex, savg, svar = _texture14(srcw14)
+
+        # --- block metrics + intra cascade (hme.c:598-716); u32 wrap
+        # reproduced on int32 bit patterns (see _udiv/_ugt)
+        mm = (colm & rowm).astype(jnp.int32)
+        sm = srcw * mm
+        s_sum = jnp.sum(sm)              # <= 255*4096, no wrap
+        s_ss = jnp.sum(sm * sm)          # <= 266M, no wrap
+        # gradient masks (hme.c:212-245 via ops/hme.py _block_analysis):
+        # dh element j = |a[j]-a[j-1]| masked by 1 <= j < bw_c; dv
+        # element i = |a[i]-a[i-1]| masked by 1 <= i < bh_c. Expressed
+        # with rolls on the FULL (BH, BW) shape: reducing an odd-sliced
+        # iota-masked product crashes the Mosaic compiler (verified:
+        # `limits[i] <= dim(i)` check failure).
+        dh_ = jnp.abs(srcw - pltpu.roll(srcw, 1, axis=1)) \
+            * ((cols >= 1) & colm & rowm).astype(jnp.int32)
+        dv_ = jnp.abs(srcw - pltpu.roll(srcw, 1, axis=0)) \
+            * ((rows >= 1) & colm & rowm).astype(jnp.int32)
+        sh_ = jnp.sum(dh_)
+        sv_ = jnp.sum(dv_)
+        area = jnp.maximum(yarea, 1)
+        luma_tex = jax.lax.div(jax.lax.div(sh_ + sv_, jnp.int32(2)), area)
+        # s_sum^2 wraps like the reference's u32; unsigned div/compare
+        luma_var = s_ss - _udiv(s_sum * s_sum, area)
+        lo_tex = (luma_tex <= 2) & inframe
+        lo_var = _ugt(yareasq, luma_var) & inframe
+
+        # zero-MV window: zvar + block_intra_test (hme.c:143-178,653)
+        zerow = load(ref_ref, jnp.clip(E + by, 0, EH - BH),
+                     jnp.clip(E + bx, 0, S - BW), BH, BW)
+        zu = zerow * mm
+        z_s = jnp.sum(zu)
+        z_ss = jnp.sum(zu * zu)
+        zvar = z_ss - _udiv(z_s * z_s, area)
+        ravg0 = jax.lax.div(z_s, area)
+        inner = jnp.clip(srcw - ravg0 + 128, 0, 255)
+        dif0 = jnp.clip(ravg0 + inner - 128, 0, 255)
+        not_intra = jnp.sum(((dif0 != srcw) & colm & rowm)
+                            .astype(jnp.int32)) > 0
+
+        go_intra = (
+            ((stex < 2) & _ugt(zvar, luma_var * 2))
+            | (rvar > svar * 2)
+            | ((stex == 0) & (rtex != 0))
+            | (jnp.abs(savg - ravg) > 8)
+            | ((luma_tex <= 10)
+               & (best > jax.lax.div(yareasq, jnp.int32(16)))))
+
+        # --- sub-block intra metric (hme.c:89-134,684-712)
+        sbw = bw_c // 2
+        sbh = bh_c // 2
+        qb = jnp.int32(0)
+        for qy in (0, 1):
+            for qx in (0, 1):
+                qx0 = bx + qx * sbw
+                qy0 = by + qy * sbh
+                aw = load(src_ref, jnp.clip(E + qy0, 0, EH - BH // 2),
+                          jnp.clip(E + qx0, 0, S - BW // 2),
+                          BH // 2, BW // 2)
+                bw2 = load(ref_ref, jnp.clip(E + qy0, 0, EH - BH // 2),
+                           jnp.clip(E + qx0, 0, S - BW // 2),
+                           BH // 2, BW // 2)
+                qcolm = colsq < sbw
+                qrowm = rowsq < sbh
+                qm = (qcolm & qrowm).astype(jnp.int32)
+                dif = jnp.abs(aw - bw2)
+                ngood = jnp.where(dif == 0, 192,
+                                  jnp.where(dif == 1, 128,
+                                            jnp.where(dif == 2, 96, 0)))
+                nevil = jnp.where(dif > 2, dif, 0)
+                # gradients via rolls on the full shape (see dh_/dv_)
+                gh = (jnp.abs(aw - pltpu.roll(aw, 1, axis=1))
+                      + jnp.abs(bw2 - pltpu.roll(bw2, 1, axis=1))) \
+                    * ((colsq >= 1) & qcolm & qrowm).astype(jnp.int32)
+                gv = (jnp.abs(aw - pltpu.roll(aw, 1, axis=0))
+                      + jnp.abs(bw2 - pltpu.roll(bw2, 1, axis=0))) \
+                    * ((rowsq >= 1) & qcolm & qrowm).astype(jnp.int32)
+                # all nonneg and << 2^31: plain int32 sums/compares
+                good = jnp.sum(ngood * qm) + jnp.sum(gh) + jnp.sum(gv)
+                evil = jnp.sum(nevil * qm)
+                good4 = good >= (((sbw + sbh) >> 1) * evil)
+                clear = (stex > 1) & good4
+                qb = qb | jnp.where(clear,
+                                    jnp.int32(1 << (qy * 2 + qx)), 0)
+
+        flags = (jnp.where(go_intra, FLAG_GO_INTRA, 0)
+                 | jnp.where(not_intra, FLAG_NOT_INTRA, 0)
+                 | jnp.where(lo_tex, FLAG_LO_TEX, 0)
+                 | jnp.where(lo_var, FLAG_LO_VAR, 0)
+                 | jnp.where(hp_hit, FLAG_HP_HIT, 0))
+        mvx_ref[0, 0, t] = mvx
+        mvy_ref[0, 0, t] = mvy
+        flags_ref[0, 0, t] = flags
+        qbits_ref[0, 0, t] = qb
+        ltex_ref[0, 0, t] = luma_tex.astype(jnp.int32)
+        svar_ref[0, 0, t] = svar
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK, body, 0)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_base_call(B: int, NBP: int, EH: int, EHP: int, S: int, SP: int,
+                     E: int, w: int, h: int, nbh_l: int, BW: int, BH: int,
+                     NC: int, interpret: bool):
+    kern = functools.partial(_base_kernel, EH=EH, S=S, E=E, w=w, h=h,
+                             nbh_l=nbh_l, BW=BW, BH=BH, NC=NC)
+    grid = (B, NBP // CHUNK)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, CHUNK, 2 * NC), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, EHP, SP), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, EHP, SP), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, NBP), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ] * 6,
+        out_shape=[jax.ShapeDtypeStruct((B, 1, NBP), jnp.int32)] * 6,
+        interpret=interpret,
+    )
+
+
+def refine_base_pallas(src2d, ref2d, cmx, cmy, layout: FrameLayout,
+                       blk_w: int, blk_h: int, nbh_l: int, nb: int,
+                       interpret: bool = False):
+    """Level-0 search + luma HVS cascade in one kernel (see _base_kernel).
+
+    Returns per-block (B, nb) int32 arrays:
+    (mvx, mvy, flags, qbits, luma_tex, src_var).
+    """
+    B, EH, S = src2d.shape
+    NC = cmx.shape[-1]
+    p = layout.planes[0]
+    NBP = -(-nb // CHUNK) * CHUNK
+    if NBP != nb:
+        padw = ((0, 0), (0, NBP - nb), (0, 0))
+        cmx = jnp.pad(cmx, padw)
+        cmy = jnp.pad(cmy, padw)
+    cm = jnp.concatenate([cmx, cmy], axis=-1).astype(jnp.int32)
+    EHP = ((EH + 7) & ~7) + 16
+    SP = S + 256
+    rp = ((0, 0), (0, EHP - EH), (0, SP - S))
+    src2d = jnp.pad(src2d, rp)
+    ref2d = jnp.pad(ref2d, rp)
+    call = _build_base_call(B, NBP, EH, EHP, S, SP, p.ext, p.w, p.h,
+                            nbh_l, blk_w, blk_h, NC, interpret)
+    outs = call(cm, src2d, ref2d)
+    return tuple(o[:, 0, :nb] for o in outs)
