@@ -149,7 +149,7 @@ def _self_tune(pt):
     set_env(best_c)
 
 
-def _device_only_fps(pt, reps=None):
+def _device_only_fps(pt):
     """Encode fps with device-resident inputs and no host packing: the
     chunk-batched jitted encoder (the same executable the e2e path
     dispatches), measured with the in-jit repetition + differencing
@@ -217,7 +217,7 @@ def main():
     efps_hd = hd["n"] * reps / (time.perf_counter() - t0)
     _metric("encode_fps_1080p_gop12_qp85", efps_hd, hd["ref_efps"],
             parity_hd and stream_hd == hd["ref_stream"])
-    _metric("device_fps_1080p_gop12_qp85", _device_only_fps(hd, reps=4),
+    _metric("device_fps_1080p_gop12_qp85", _device_only_fps(hd),
             hd["ref_efps"])
 
     # --- CIF decode of the reference's own stream

@@ -256,9 +256,7 @@ def _udiv(a, b):
     """Unsigned a // b on int32 bit patterns (b positive, small)."""
     half = jax.lax.shift_right_logical(a, 1)
     q = 2 * jax.lax.div(half, b)
-    r = a - q * b  # in [0, 2b+1): exact despite a's wrap
-    q = q + (r >= b).astype(jnp.int32)
-    r = r - jnp.where(r >= b, b, 0)
+    r = a - q * b  # in [0, 2b): exact despite a's wrap
     return q + (r >= b).astype(jnp.int32)
 
 

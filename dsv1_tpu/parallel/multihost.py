@@ -151,6 +151,15 @@ def run_distributed_shard(coordinator: str, num_processes: int,
 
     from .gop import block_geometry
 
+    # Establish the collective (Gloo) context NOW, while every rank is
+    # still synchronized from initialize(): Gloo's context creation
+    # inside the first allgather has a hard ~30 s KV-rendezvous
+    # deadline, and the encode phases below can skew ranks by minutes
+    # (compile times differ per rank). Once the context exists,
+    # subsequent collectives block on connected sockets without that
+    # deadline.
+    multihost_utils.process_allgather(np.zeros(1, np.int32))
+
     ranges = shard_ranges(len(frames_all), cfg.gop, num_processes)
     g0, f0, nf = ranges[process_id]
     nbh, nbv = block_geometry(meta.width, meta.height)[2:]

@@ -83,13 +83,21 @@ def test_hme_matches_reference(seed, shift):
     assert int(out["intra_pct"]) == ref_pct
 
 
-@pytest.mark.parametrize("seed,shift", [(1, 3), (2, 0), (5, 11)])
-def test_hme_batch_pallas_matches_reference(seed, shift):
+@pytest.mark.parametrize("seed,shift,w,h", [
+    (1, 3, 96, 80), (2, 0, 96, 80), (5, 11, 96, 80),
+    # non-block-multiple dims: partial right column AND bottom row
+    # (clipped masks, srcw14 centering, sbw/sbh sub-blocks in-kernel)
+    (3, 2, 100, 84),
+    # block-multiple width with a partial bottom row only — the 1080p
+    # production shape (1080 = 67*16 + 8)
+    (4, 5, 96, 88),
+])
+def test_hme_batch_pallas_matches_reference(seed, shift, w, h):
     """The pallas base-kernel path (candidates + 9pt + half-pel + luma
     HVS cascade in-kernel, ops/pallas_hme.py _base_kernel) must produce
     the same MV field as dsv_hme. Runs the kernel in interpret mode so
     the arbitration happens in CPU CI too."""
-    w, h, subsamp, levels, blk = 96, 80, SUBSAMP_420, 3, 16
+    subsamp, levels, blk = SUBSAMP_420, 3, 16
     yuv = corpus.make_clip(w, h, subsamp, 2, seed=seed)
     fsz = w * h + 2 * (w // 2) * (h // 2)
     f0 = fr.np_yuv_split(np.frombuffer(yuv[:fsz], np.uint8), subsamp, w, h)

@@ -83,6 +83,8 @@ def test_multihost_dense_fallback_keeps_global_frame_numbers():
     assert multi == single
 
 
+@pytest.mark.skipif(not os.environ.get("DSV1_SLOW_TESTS"),
+                    reason="~4 min (2 OS processes); set DSV1_SLOW_TESTS=1")
 def test_two_real_processes_jax_distributed(tmp_path):
     """The REAL multi-process flow (VERDICT item 4): two separate OS
     processes through jax.distributed.initialize, shard exchange +
@@ -90,7 +92,13 @@ def test_two_real_processes_jax_distributed(tmp_path):
     rank 0 — byte-identical to the sequential encoder. The corpus has a
     hard scene cut inside shard 0's last GOP so the shard boundary does
     NOT land on a stability refresh: rank 1 must take the handshake's
-    re-encode leg."""
+    re-encode leg.
+
+    Slow tier (green as of round 5 — the Gloo context is now established
+    by a warm-up allgather right after jax.distributed.initialize, so
+    rank skew during the encode phase no longer trips Gloo's 30 s
+    rendezvous deadline; see parallel/multihost.py run_distributed_shard
+    and RESULTS.md's multihost proof record)."""
     import json
     import socket
     import subprocess

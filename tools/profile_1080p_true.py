@@ -21,6 +21,10 @@ from devtime import devtime  # noqa: E402
 
 
 def main():
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parent.parent / "build"
+                          / "jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     from tests import corpus
     from dsv1_tpu.constants import SUBSAMP_420, quality_percent
     from dsv1_tpu.models.encoder import (_pyr_layouts, auto_pyramid_levels,
