@@ -35,7 +35,55 @@ from .frame import FrameLayout
 XF = (0, 1, -1, 0, 0, -1, 1, -1, 1)
 YF = (0, 0, 0, 1, -1, -1, -1, 1, 1)
 
-CHUNK = 128  # blocks per grid step
+CHUNK = 128  # max blocks per grid step (shrunk for small grids)
+
+
+def _chunk_of(nb: int) -> int:
+    """Blocks per grid step: coarse pyramid levels have single-digit
+    block counts — padding them to 128 serial iterations wastes ~95% of
+    the grid step (each padded block still pays its window loads)."""
+    return min(CHUNK, ((nb + 7) // 8) * 8)
+
+
+def _load(ref, rr, cc, H_: int, W_: int, aligned: bool = False):
+    """(H_, W_) i32 window at dynamic (rr, cc) from a VMEM-resident
+    (1, EHP, SP) u8 plane.
+
+    Mosaic requires provably aligned vector-load starts (8 sublanes /
+    128 lanes), so: load the aligned superset, lane-rotate into place
+    (dynamic sublane rotates miscompile on real TPUs — verified, they
+    rotate within 8-row tiles — hence the select), then resolve the
+    sublane offset with a 3-step binary shift-select (3 selects of
+    decreasing height vs the naive 8-way's 7; Mosaic has no sub-32-bit
+    lane rotate — "Rotate with non-32-bit data not implemented" — so
+    the superset converts to i32 before the roll). When W_ <= 128 the
+    superset is cut to its first 128 lanes right after the rotate
+    left-aligns the payload, halving the select traffic.
+
+    aligned=True asserts rr % 8 == 0 and skips the sublane select
+    entirely: block-origin rows are E + gj*BH with E and every legal
+    block size a multiple of 8 (dsv.h:50-51 sizes 16..64; callers mask
+    their row clips with & ~7)."""
+    if aligned:
+        r8 = pl.multiple_of(rr, 8)
+        RH = ((H_ + 7) // 8) * 8
+    else:
+        r8 = pl.multiple_of(rr & ~7, 8)
+        RH = ((H_ + 8 + 7) // 8) * 8
+    c128 = pl.multiple_of(cc & ~127, 128)
+    LW = ((W_ + 128 + 127) // 128) * 128
+    big = ref[0, pl.ds(r8, RH), pl.ds(c128, LW)].astype(jnp.int32)
+    big = pltpu.roll(big, -(cc - c128), axis=1)
+    if W_ <= 128:
+        big = big[:, :128]
+    if aligned:
+        win = big[0:H_]
+    else:
+        off = rr - r8
+        w4 = jnp.where(off >= 4, big[4:4 + H_ + 3], big[0:H_ + 3])
+        w2 = jnp.where((off & 2) != 0, w4[2:2 + H_ + 1], w4[0:H_ + 1])
+        win = jnp.where((off & 1) != 0, w2[1:1 + H_], w2[0:H_])
+    return win[:, :W_]
 
 # VMEM budget guard: src+ref planes x2 (pallas double-buffers blocks).
 # Above this (4K luma ~9.4MB) fall back to the XLA path.
@@ -56,10 +104,10 @@ def _masked_sad(a, b, colm, rowm):
 
 def _refine_kernel(cm_ref, src_ref, ref_ref, dx_ref, dy_ref, best_ref, *,
                    EH: int, S: int, E: int, w: int, h: int, nbh_l: int,
-                   BW: int, BH: int, NC: int, level: int):
-    """One grid step: CHUNK blocks of one batch element.
+                   BW: int, BH: int, NC: int, level: int, chunk: int):
+    """One grid step: `chunk` blocks of one batch element.
 
-    cm_ref: SMEM (1, CHUNK, 2*NC) i32 candidate MVs in full-res units
+    cm_ref: SMEM (1, chunk, 2*NC) i32 candidate MVs in full-res units
             (x slots then y slots, matching hme.c:452-510 inheritance).
     src/ref: VMEM (1, EHP, S) u8 extended planes, row-padded so that any
     window load can start at the 8-aligned row below it (Mosaic requires
@@ -71,32 +119,10 @@ def _refine_kernel(cm_ref, src_ref, ref_ref, dx_ref, dy_ref, best_ref, *,
     b = FRAME_BORDER
     cols = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 0)
-
-    def load(ref, rr, cc, H_: int, W_: int):
-        """(H_, W_) i32 window at dynamic (rr, cc).
-
-        Mosaic requires provably aligned vector-load starts (8 sublanes /
-        128 lanes), so load the aligned superset and dynamic-rotate it
-        into place (the wrapper pads the planes by 8 rows / 128 lanes so
-        the superset always stays in bounds)."""
-        r8 = pl.multiple_of(rr & ~7, 8)
-        c128 = pl.multiple_of(cc & ~127, 128)
-        # the lane rotate needs a %8 x %128 vector shape
-        RH = ((H_ + 8 + 7) // 8) * 8
-        LW = ((W_ + 128 + 127) // 128) * 128
-        big = ref[0, pl.ds(r8, RH), pl.ds(c128, LW)].astype(jnp.int32)
-        big = pltpu.roll(big, -(cc - c128), axis=1)
-        # row alignment: dynamic sublane rotate miscompiles on real TPUs
-        # (rotates within 8-row tiles; verified), so select among the 8
-        # statically shifted views instead
-        off = rr - r8
-        win = big[0:H_]
-        for o in range(1, 8):
-            win = jnp.where(off == o, big[o:o + H_], win)
-        return win[:, :W_]
+    load = _load
 
     def body(i, _):
-        t = c * CHUNK + i
+        t = c * chunk + i
         gi = jax.lax.rem(t, nbh_l)
         gj = jax.lax.div(t, nbh_l)
         bx = gi * BW
@@ -106,9 +132,10 @@ def _refine_kernel(cm_ref, src_ref, ref_ref, dx_ref, dy_ref, best_ref, *,
         bh_c = jnp.clip(h - by, 0, BH)
         colm = cols < bw_c
         rowm = rows < bh_c
-        # clamps keep grid-padding blocks (t >= nb, discarded) in bounds
-        srcw = load(src_ref, jnp.clip(E + by, 0, EH - BH),
-                    jnp.clip(E + bx, 0, S - BW), BH, BW)
+        # clamps keep grid-padding blocks (t >= nb, discarded) in bounds;
+        # & ~7 preserves the block-origin row alignment under the clamp
+        srcw = load(src_ref, jnp.clip(E + by, 0, (EH - BH) & ~7),
+                    jnp.clip(E + bx, 0, S - BW), BH, BW, aligned=True)
 
         # --- candidate SADs (hme.c:452-510)
         bsad = imax
@@ -165,21 +192,22 @@ def _refine_kernel(cm_ref, src_ref, ref_ref, dx_ref, dy_ref, best_ref, *,
         best_ref[0, 0, t] = best
         return 0
 
-    jax.lax.fori_loop(0, CHUNK, body, 0)
+    jax.lax.fori_loop(0, chunk, body, 0)
 
 
 @functools.lru_cache(maxsize=64)
 def _build_call(B: int, NBP: int, EH: int, EHP: int, S: int, SP: int,
                 E: int, w: int, h: int, nbh_l: int, BW: int, BH: int,
-                NC: int, level: int, interpret: bool):
+                NC: int, level: int, chunk: int, interpret: bool):
     kern = functools.partial(_refine_kernel, EH=EH, S=S, E=E, w=w, h=h,
-                             nbh_l=nbh_l, BW=BW, BH=BH, NC=NC, level=level)
-    grid = (B, NBP // CHUNK)
+                             nbh_l=nbh_l, BW=BW, BH=BH, NC=NC, level=level,
+                             chunk=chunk)
+    grid = (B, NBP // chunk)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, CHUNK, 2 * NC), lambda b, c: (b, c, 0),
+            pl.BlockSpec((1, chunk, 2 * NC), lambda b, c: (b, c, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, EHP, SP), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -210,7 +238,8 @@ def refine_level_pallas(src2d, ref2d, cmx, cmy, layout: FrameLayout,
     B, EH, S = src2d.shape
     NC = cmx.shape[-1]
     p = layout.planes[0]
-    NBP = -(-nb // CHUNK) * CHUNK
+    chunk = _chunk_of(nb)
+    NBP = -(-nb // chunk) * chunk
     if NBP != nb:
         padw = ((0, 0), (0, NBP - nb), (0, 0))
         cmx = jnp.pad(cmx, padw)
@@ -223,7 +252,7 @@ def refine_level_pallas(src2d, ref2d, cmx, cmy, layout: FrameLayout,
     src2d = jnp.pad(src2d, rp)
     ref2d = jnp.pad(ref2d, rp)
     call = _build_call(B, NBP, EH, EHP, S, SP, p.ext, p.w, p.h, nbh_l,
-                       blk_w, blk_h, NC, level, interpret)
+                       blk_w, blk_h, NC, level, chunk, interpret)
     dx, dy, best = call(cm, src2d, ref2d)
     return (dx[:, 0, :nb], dy[:, 0, :nb], best[:, 0, :nb])
 
@@ -284,7 +313,8 @@ def _texture14(a):
 
 def _base_kernel(cm_ref, src_ref, ref_ref, mvx_ref, mvy_ref, flags_ref,
                  qbits_ref, ltex_ref, svar_ref, *, EH: int, S: int, E: int,
-                 w: int, h: int, nbh_l: int, BW: int, BH: int, NC: int):
+                 w: int, h: int, nbh_l: int, BW: int, BH: int, NC: int,
+                 chunk: int):
     """Level-0 kernel: candidate select + 9-point full-pel + 8-point
     half-pel refine + the whole luma HVS intra cascade (hme.c:543-722),
     per block, with both planes resident in VMEM.
@@ -300,25 +330,10 @@ def _base_kernel(cm_ref, src_ref, ref_ref, mvx_ref, mvy_ref, flags_ref,
     b = FRAME_BORDER
     cols = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 0)
-    colsq = jax.lax.broadcasted_iota(jnp.int32, (BH // 2, BW // 2), 1)
-    rowsq = jax.lax.broadcasted_iota(jnp.int32, (BH // 2, BW // 2), 0)
-
-    def load(ref, rr, cc, H_: int, W_: int):
-        # aligned-superset load + rotate (see _refine_kernel.load)
-        r8 = pl.multiple_of(rr & ~7, 8)
-        c128 = pl.multiple_of(cc & ~127, 128)
-        RH = ((H_ + 8 + 7) // 8) * 8
-        LW = ((W_ + 128 + 127) // 128) * 128
-        big = ref[0, pl.ds(r8, RH), pl.ds(c128, LW)].astype(jnp.int32)
-        big = pltpu.roll(big, -(cc - c128), axis=1)
-        off = rr - r8
-        win = big[0:H_]
-        for o in range(1, 8):
-            win = jnp.where(off == o, big[o:o + H_], win)
-        return win[:, :W_]
+    load = _load
 
     def body(i, _):
-        t = c * CHUNK + i
+        t = c * chunk + i
         gi = jax.lax.rem(t, nbh_l)
         gj = jax.lax.div(t, nbh_l)
         bx = gi * BW
@@ -328,8 +343,9 @@ def _base_kernel(cm_ref, src_ref, ref_ref, mvx_ref, mvy_ref, flags_ref,
         bh_c = jnp.clip(h - by, 0, BH)
         colm = cols < bw_c
         rowm = rows < bh_c
-        srcw = load(src_ref, jnp.clip(E + by, 0, EH - BH),
-                    jnp.clip(E + bx, 0, S - BW), BH, BW)
+        # & ~7 keeps the block-origin row alignment under the clamp
+        srcw = load(src_ref, jnp.clip(E + by, 0, (EH - BH) & ~7),
+                    jnp.clip(E + bx, 0, S - BW), BH, BW, aligned=True)
 
         # --- candidate SADs (hme.c:452-510)
         bsad = imax
@@ -441,15 +457,15 @@ def _base_kernel(cm_ref, src_ref, ref_ref, mvx_ref, mvy_ref, flags_ref,
             hp_hit, jax.lax.div(run_best * yarea, jnp.int32(HP * HP)),
             best)
 
-        # --- refblock stats: centre window of the chosen prediction
-        ctr = nb_[2:2 + HP, 2:2 + HP]
-        rtex, ravg, rvar = _texture14(ctr)
+        # --- refblock stats: centre window of the chosen prediction.
+        # Select the winning window FIRST (8 selects of a 14x14), then
+        # run block_texture once — vs 9 full _texture14 evaluations
+        # whose results all but one are discarded.
+        selw = nb_[2:2 + HP, 2:2 + HP]
         for k in range(8):
-            tk, ak, vk = _texture14(wins[k])
             sel = hp_hit & (run_m == k)
-            rtex = jnp.where(sel, tk, rtex)
-            ravg = jnp.where(sel, ak, ravg)
-            rvar = jnp.where(sel, vk, rvar)
+            selw = jnp.where(sel, wins[k], selw)
+        rtex, ravg, rvar = _texture14(selw)
         stex, savg, svar = _texture14(srcw14)
 
         # --- block metrics + intra cascade (hme.c:598-716); u32 wrap
@@ -478,8 +494,8 @@ def _base_kernel(cm_ref, src_ref, ref_ref, mvx_ref, mvy_ref, flags_ref,
         lo_var = _ugt(yareasq, luma_var) & inframe
 
         # zero-MV window: zvar + block_intra_test (hme.c:143-178,653)
-        zerow = load(ref_ref, jnp.clip(E + by, 0, EH - BH),
-                     jnp.clip(E + bx, 0, S - BW), BH, BW)
+        zerow = load(ref_ref, jnp.clip(E + by, 0, (EH - BH) & ~7),
+                     jnp.clip(E + bx, 0, S - BW), BH, BW, aligned=True)
         zu = zerow * mm
         z_s = jnp.sum(zu)
         z_ss = jnp.sum(zu * zu)
@@ -498,39 +514,45 @@ def _base_kernel(cm_ref, src_ref, ref_ref, mvx_ref, mvy_ref, flags_ref,
             | ((luma_tex <= 10)
                & (best > jax.lax.div(yareasq, jnp.int32(16)))))
 
-        # --- sub-block intra metric (hme.c:89-134,684-712)
+        # --- sub-block intra metric (hme.c:89-134,684-712).
+        # The four (sbh, sbw) quadrant windows of src and zero-MV ref
+        # are sub-rectangles of the already-loaded srcw/zerow (quadrant
+        # q spans rows [qy*sbh, (qy+1)*sbh) cols [qx*sbw, (qx+1)*sbw)
+        # of the block), so the per-pixel fields are computed ONCE on
+        # the full (BH, BW) block and each quadrant reduces under its
+        # rectangle mask — replacing 16 window loads per block.
         sbw = bw_c // 2
         sbh = bh_c // 2
+        dif_f = jnp.abs(srcw - zerow)
+        ngood_f = jnp.where(dif_f == 0, 192,
+                            jnp.where(dif_f == 1, 128,
+                                      jnp.where(dif_f == 2, 96, 0)))
+        nevil_f = jnp.where(dif_f > 2, dif_f, 0)
+        # gradient fields: element (i, j) holds |a[j]-a[j-1]| at the
+        # block-absolute position; a quadrant's local-j>=1 mask selects
+        # exactly its in-quadrant differences (the j-1 neighbour of a
+        # local j>=1 stays inside the quadrant)
+        gh_f = (jnp.abs(srcw - pltpu.roll(srcw, 1, axis=1))
+                + jnp.abs(zerow - pltpu.roll(zerow, 1, axis=1)))
+        gv_f = (jnp.abs(srcw - pltpu.roll(srcw, 1, axis=0))
+                + jnp.abs(zerow - pltpu.roll(zerow, 1, axis=0)))
         qb = jnp.int32(0)
+        ethr = (sbw + sbh) >> 1
         for qy in (0, 1):
             for qx in (0, 1):
-                qx0 = bx + qx * sbw
-                qy0 = by + qy * sbh
-                aw = load(src_ref, jnp.clip(E + qy0, 0, EH - BH // 2),
-                          jnp.clip(E + qx0, 0, S - BW // 2),
-                          BH // 2, BW // 2)
-                bw2 = load(ref_ref, jnp.clip(E + qy0, 0, EH - BH // 2),
-                           jnp.clip(E + qx0, 0, S - BW // 2),
-                           BH // 2, BW // 2)
-                qcolm = colsq < sbw
-                qrowm = rowsq < sbh
-                qm = (qcolm & qrowm).astype(jnp.int32)
-                dif = jnp.abs(aw - bw2)
-                ngood = jnp.where(dif == 0, 192,
-                                  jnp.where(dif == 1, 128,
-                                            jnp.where(dif == 2, 96, 0)))
-                nevil = jnp.where(dif > 2, dif, 0)
-                # gradients via rolls on the full shape (see dh_/dv_)
-                gh = (jnp.abs(aw - pltpu.roll(aw, 1, axis=1))
-                      + jnp.abs(bw2 - pltpu.roll(bw2, 1, axis=1))) \
-                    * ((colsq >= 1) & qcolm & qrowm).astype(jnp.int32)
-                gv = (jnp.abs(aw - pltpu.roll(aw, 1, axis=0))
-                      + jnp.abs(bw2 - pltpu.roll(bw2, 1, axis=0))) \
-                    * ((rowsq >= 1) & qcolm & qrowm).astype(jnp.int32)
+                lcol = cols - qx * sbw
+                lrow = rows - qy * sbh
+                qm_b = ((lcol >= 0) & (lcol < sbw)
+                        & (lrow >= 0) & (lrow < sbh))
+                qm = qm_b.astype(jnp.int32)
                 # all nonneg and << 2^31: plain int32 sums/compares
-                good = jnp.sum(ngood * qm) + jnp.sum(gh) + jnp.sum(gv)
-                evil = jnp.sum(nevil * qm)
-                good4 = good >= (((sbw + sbh) >> 1) * evil)
+                good = (jnp.sum(ngood_f * qm)
+                        + jnp.sum(gh_f * (qm_b & (lcol >= 1))
+                                  .astype(jnp.int32))
+                        + jnp.sum(gv_f * (qm_b & (lrow >= 1))
+                                  .astype(jnp.int32)))
+                evil = jnp.sum(nevil_f * qm)
+                good4 = good >= ethr * evil
                 clear = (stex > 1) & good4
                 qb = qb | jnp.where(clear,
                                     jnp.int32(1 << (qy * 2 + qx)), 0)
@@ -548,21 +570,21 @@ def _base_kernel(cm_ref, src_ref, ref_ref, mvx_ref, mvy_ref, flags_ref,
         svar_ref[0, 0, t] = svar
         return 0
 
-    jax.lax.fori_loop(0, CHUNK, body, 0)
+    jax.lax.fori_loop(0, chunk, body, 0)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_base_call(B: int, NBP: int, EH: int, EHP: int, S: int, SP: int,
                      E: int, w: int, h: int, nbh_l: int, BW: int, BH: int,
-                     NC: int, interpret: bool):
+                     NC: int, chunk: int, interpret: bool):
     kern = functools.partial(_base_kernel, EH=EH, S=S, E=E, w=w, h=h,
-                             nbh_l=nbh_l, BW=BW, BH=BH, NC=NC)
-    grid = (B, NBP // CHUNK)
+                             nbh_l=nbh_l, BW=BW, BH=BH, NC=NC, chunk=chunk)
+    grid = (B, NBP // chunk)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, CHUNK, 2 * NC), lambda b, c: (b, c, 0),
+            pl.BlockSpec((1, chunk, 2 * NC), lambda b, c: (b, c, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, EHP, SP), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -589,7 +611,8 @@ def refine_base_pallas(src2d, ref2d, cmx, cmy, layout: FrameLayout,
     B, EH, S = src2d.shape
     NC = cmx.shape[-1]
     p = layout.planes[0]
-    NBP = -(-nb // CHUNK) * CHUNK
+    chunk = _chunk_of(nb)
+    NBP = -(-nb // chunk) * chunk
     if NBP != nb:
         padw = ((0, 0), (0, NBP - nb), (0, 0))
         cmx = jnp.pad(cmx, padw)
@@ -601,6 +624,6 @@ def refine_base_pallas(src2d, ref2d, cmx, cmy, layout: FrameLayout,
     src2d = jnp.pad(src2d, rp)
     ref2d = jnp.pad(ref2d, rp)
     call = _build_base_call(B, NBP, EH, EHP, S, SP, p.ext, p.w, p.h,
-                            nbh_l, blk_w, blk_h, NC, interpret)
+                            nbh_l, blk_w, blk_h, NC, chunk, interpret)
     outs = call(cm, src2d, ref2d)
     return tuple(o[:, 0, :nb] for o in outs)

@@ -44,22 +44,35 @@ def build_gop_decoder(subsamp: int, w: int, h: int, L: int,
                       blk_w: int, blk_h: int):
     """Pure fn decoding one chain of L pictures on device.
 
-    f(qgrids (3x [L,ch,cw] i16), dcs [L,3] i32, quants [L] i32,
+    f(sidx [Ksym] i32, sval [Ksym] i16, dcs [L,3] i32, quants [L] i32,
       is_p [L] bool, stable [L,nblk] u8, modes/mvx/mvy/submask [L,nblk])
       -> planes tuple of 3 [L,h,w] u8
-    """
+
+    sidx/sval: the chain's quantized symbols as one flat sparse list in
+    chain-local coordinates pic*N + plane_offset + grid_index (N = total
+    coefficients per picture over the 3 planes), padded with the
+    out-of-bounds index L*N (dropped by the device scatter). The coded
+    size of a chain is ~100-1000x smaller than its dense grids, so
+    shipping symbols and scattering on device removes the dominant H2D
+    volume of the decode path (87 MB -> ~0.6 MB for the CIF bench
+    stream; reference decode hot path dsv_decoder.c:286-472)."""
     nbh = div_round(w, blk_w)
     nbv = div_round(h, blk_h)
     layout, coef_dims, tables = coef_geometry(subsamp, w, h, nbh, nbv)
+    nper = [ch * cw for (cw, ch) in coef_dims]
+    N = sum(nper)
+    offs = [0, nper[0], nper[0] + nper[1]]
 
     def step(ref_img, xs):
-        qgrids, dcs, quant, is_p, is_ref, stable, modes, mvx, mvy, \
+        qflat, dcs, quant, is_p, is_ref, stable, modes, mvx, mvy, \
             submask = xs
         outs = []
         for c in range(3):
             p = layout.planes[c]
+            cw, ch = coef_dims[c]
+            qgrid = qflat[offs[c]:offs[c] + nper[c]].reshape(ch, cw)
             coefs = hzcc.dequant_plane_grid(
-                qgrids[c], dcs[c], quant, is_p, c, stable, tables[c])
+                qgrid, dcs[c], quant, is_p, c, stable, tables[c])
             rec = sbt.inv_sbt(coefs, quant, is_p, is_luma=(c == 0))
             rp = sbt.coefs_to_plane(rec)[:p.h, :p.w]
             ref_plane = fr.plane_view(ref_img, layout, c)
@@ -73,10 +86,14 @@ def build_gop_decoder(subsamp: int, w: int, h: int, L: int,
         new_img = jnp.where(is_ref, new_img, ref_img)
         return new_img, tuple(outs)
 
-    def run(qg0, qg1, qg2, dcs, quants, is_p, is_ref, stable,
+    def run(sidx, sval, dcs, quants, is_p, is_ref, stable,
             modes, mvx, mvy, submask):
+        # one scatter materializes every picture's dense grids; padding
+        # indices land at L*N and are dropped
+        qdense = jnp.zeros((L * N,), jnp.int16) \
+            .at[sidx].set(sval, mode="drop").reshape(L, N)
         carry0 = fr.alloc_image(layout)
-        xs = ((qg0, qg1, qg2), dcs, quants, is_p, is_ref, stable,
+        xs = (qdense, dcs, quants, is_p, is_ref, stable,
               modes, mvx, mvy, submask)
         _, outs = lax.scan(step, carry0, xs)
         return outs
@@ -223,6 +240,17 @@ def iter_decode_gops(stream: bytes, mesh: Mesh | None = None, *,
     w, h, subsamp = meta.width, meta.height, meta.subsamp
     _, coef_dims, _ = coef_geometry(subsamp, w, h,
                                     div_round(w, blk_w), div_round(h, blk_h))
+    nper = [ch * cw for (cw, ch) in coef_dims]
+    N = sum(nper)
+    plane_off = np.asarray([0, nper[0], nper[0] + nper[1]], np.int64)
+
+    # chain-flat symbol capacity: bucket the max chain total to limit
+    # recompiles across streams (power-of-two, floor 256)
+    chain_syms = [sum(frames[fi]["sidx"][c].size
+                      for fi in ch_ for c in range(3)) for ch_ in chains]
+    Ksym = 256
+    while Ksym < max(chain_syms):
+        Ksym *= 2
 
     per_dev = max(1, min(4, (4 * 352 * 288 * 12) // max(L * w * h, 1),
                          len(chains)))
@@ -234,14 +262,14 @@ def iter_decode_gops(stream: bytes, mesh: Mesh | None = None, *,
         chunk = per_dev
         key = None
     in_specs = (
-        tuple((np.dtype(np.int16).str, (chunk, L, ch, cw))
-              for (cw, ch) in coef_dims)
-        + ((np.dtype(np.int32).str, (chunk, L, 3)),
-           (np.dtype(np.int32).str, (chunk, L)),
-           (np.dtype(np.bool_).str, (chunk, L)),
-           (np.dtype(np.bool_).str, (chunk, L)),
-           (np.dtype(np.uint8).str, (chunk, L, nblk)))
-        + ((np.dtype(np.int32).str, (chunk, L, nblk)),) * 4)
+        (np.dtype(np.int32).str, (chunk, Ksym)),
+        (np.dtype(np.int16).str, (chunk, Ksym)),
+        (np.dtype(np.int32).str, (chunk, L, 3)),
+        (np.dtype(np.int32).str, (chunk, L)),
+        (np.dtype(np.bool_).str, (chunk, L)),
+        (np.dtype(np.bool_).str, (chunk, L)),
+        (np.dtype(np.uint8).str, (chunk, L, nblk)))
+    in_specs += ((np.dtype(np.int32).str, (chunk, L, nblk)),) * 4
     fn, layout_box = _jit_batched_dec(subsamp, w, h, L, blk_w, blk_h, key,
                                       in_specs)
 
@@ -249,8 +277,10 @@ def iter_decode_gops(stream: bytes, mesh: Mesh | None = None, *,
     npad = div_round(nc, chunk) * chunk
 
     def pack_chunk(s):
-        qg = [np.zeros((chunk, L, ch, cw), np.int16)
-              for (cw, ch) in coef_dims]
+        # padding slots point past the chain's grids (L*N): the device
+        # scatter drops them (mode='drop')
+        sidx = np.full((chunk, Ksym), L * N, np.int32)
+        sval = np.zeros((chunk, Ksym), np.int16)
         dcs = np.zeros((chunk, L, 3), np.int32)
         quants = np.zeros((chunk, L), np.int32)
         is_p = np.zeros((chunk, L), bool)
@@ -264,12 +294,15 @@ def iter_decode_gops(stream: bytes, mesh: Mesh | None = None, *,
             ci = s + cl
             if ci >= nc:
                 break
+            pos = 0
             for k, fi in enumerate(chains[ci]):
                 f = frames[fi]
                 for c in range(3):
-                    # deferred duplicate-free symbol scatter (parse
-                    # keeps symbols, not dense grids)
-                    qg[c][cl, k].reshape(-1)[f["sidx"][c]] = f["sval"][c]
+                    n_ = f["sidx"][c].size
+                    sidx[cl, pos:pos + n_] = (k * N + plane_off[c]
+                                              + f["sidx"][c])
+                    sval[cl, pos:pos + n_] = f["sval"][c]
+                    pos += n_
                 dcs[cl, k] = f["dcs"]
                 quants[cl, k] = f["quant"]
                 is_p[cl, k] = f["has_ref"]
@@ -279,7 +312,7 @@ def iter_decode_gops(stream: bytes, mesh: Mesh | None = None, *,
                 mx[cl, k] = f["mvx"]
                 my[cl, k] = f["mvy"]
                 sb[cl, k] = f["submask"]
-        return (qg[0], qg[1], qg[2], dcs, quants, is_p, is_ref, stable,
+        return (sidx, sval, dcs, quants, is_p, is_ref, stable,
                 mo, mx, my, sb)
 
     from ..ops.opt import blob_concat_np

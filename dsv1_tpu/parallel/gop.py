@@ -410,6 +410,22 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
         C = packed.shape[0]
         imgs_all, al_all, mv_all, has_ref_all = motion(packed)
 
+        # vmap at batch 1 still lowers through XLA's *batched* gather/
+        # scatter/select variants, measured up to 7.5x slower than the
+        # unbatched forms (RESULTS.md round-4 log); C == 1 is the norm
+        # for >= 1080p chunks, so run the frame functions unbatched and
+        # re-add the axis (measured 66.7 -> ~35 ms for the 1080p P scan)
+        if C == 1:
+            def bvmap(f):
+                def g(*a):
+                    sq = jax.tree_util.tree_map(
+                        lambda x: jnp.squeeze(x, 0), tuple(a))
+                    out = f(*sq)
+                    return jax.tree_util.tree_map(lambda y: y[None], out)
+                return g
+        else:
+            bvmap = jax.vmap
+
         # GOP start: statically intra — XLA folds away its motion path
         qi, qp = quants[:, 0], quants[:, 1]
         imgs0 = imgs_all[0].reshape(C, G, -1)
@@ -422,7 +438,7 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
                                 fr.alloc_image(layouts[0]), st, rc, im, mv1,
                                 None)
 
-        recon, stability, refresh_ctr, out_i = jax.vmap(frame_i)(
+        recon, stability, refresh_ctr, out_i = bvmap(frame_i)(
             qi, stab0, refresh0, imgs0[:, 0], zmv)
 
         if G > 1:
@@ -432,7 +448,7 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
                 def frame_p(q1, rr, st, rc, im, mv1, hr):
                     return encode_frame(hr, q1, rr, st, rc, im, mv1, None)
 
-                recon, stability, refresh_ctr, out = jax.vmap(frame_p)(
+                recon, stability, refresh_ctr, out = bvmap(frame_p)(
                     qp, ref_recon, stability, refresh_ctr, *x)
                 return (recon, stability, refresh_ctr), out
 
