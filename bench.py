@@ -11,7 +11,10 @@ the headline metric, kept identical to rounds 1-2):
                                 tunneled axon link is a test-environment
                                 artifact: ~25-45 MB/s vs real deployments
                                 feeding from co-located storage)
+  decode_fps_1080p_gop12_qp85   e2e 1080p decode of a reference stream
+  device_decode_fps_1080p_...   1080p decode, device compute only
   decode_fps_cif_gop12_qp85     e2e CIF decode of a reference stream
+  device_decode_fps_cif_...     CIF decode, device compute only
   device_fps_cif_gop12_qp85     CIF encode, device compute only
   encode_fps_cif_gop12_qp85     e2e CIF encode (headline)
 
@@ -19,6 +22,15 @@ Every e2e point carries "parity": encode streams byte-compare against
 the reference binary's output at matched settings (verifying the Pallas
 HME path on real hardware), decode output byte-compares against the
 reference decoder.
+
+Device points carry "hbm_frac": the fraction of the v5e HBM peak
+(~819 GB/s) that the codec's MINIMUM algorithmic data movement
+represents at the achieved fps — a roofline position. The floor model
+(documented in _hbm_frac) counts one u8 pass of the pixels in + one u8
+pass out plus one int32 write+read of every subband coefficient; a
+small fraction means the chip is op-/latency-bound (many small fused
+ops), not bandwidth-bound, and says how much headroom a
+bandwidth-optimal implementation would still have.
 """
 
 import json
@@ -188,12 +200,48 @@ def _device_only_fps(pt):
     return chunk * G / max(sec_per_chunk, 1e-9)
 
 
-def _metric(name, fps, ref_fps, parity=None):
+V5E_HBM_BPS = 819e9  # v5e HBM peak bytes/s (public spec)
+
+
+def _hbm_frac(w, h, fps):
+    """Roofline position: minimum algorithmic HBM traffic at the
+    achieved fps over the v5e HBM peak. Floor model per 4:2:0 frame
+    (1.5*w*h pixels): one u8 read of the input pixels + one u8 write of
+    the recon/output, plus one int32 write + one int32 read of every
+    subband coefficient (the fwd transform must materialize them, the
+    quantizer must consume them) => (1 + 1 + 4 + 4) * 1.5*w*h bytes.
+    Everything else (pyramids, HME windows, half-pel variants, in-loop
+    recon) is implementation, not algorithmic necessity. A small value
+    = op-/latency-bound, with that much headroom to the memory
+    roofline."""
+    px = 1.5 * w * h
+    bytes_per_frame = (1 + 1 + 4 + 4) * px
+    return bytes_per_frame * fps / V5E_HBM_BPS
+
+
+def _metric(name, fps, ref_fps, parity=None, hbm=None):
     m = {"metric": name, "value": round(fps, 2), "unit": "frames/s",
          "vs_baseline": round(fps / ref_fps, 3)}
     if parity is not None:
         m["parity"] = bool(parity)
+    if hbm is not None:
+        m["hbm_frac"] = round(hbm, 4)
     print(json.dumps(m), flush=True)
+
+
+def _device_decode_fps(stream):
+    """Decode fps with device-resident input (the shipped chunk
+    executable, in-jit repetition; see _device_only_fps)."""
+    import sys
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+    import jax
+    from devtime import devtime
+    from dsv1_tpu.parallel.decode import bench_device_chunk
+
+    fn, blob_np, nf = bench_device_chunk(stream)
+    blob = jax.device_put(blob_np)
+    sec = devtime(lambda b: fn(b), (blob,), r1=1, r2=4)
+    return nf / max(sec, 1e-9)
 
 
 def main():
@@ -217,8 +265,26 @@ def main():
     efps_hd = hd["n"] * reps / (time.perf_counter() - t0)
     _metric("encode_fps_1080p_gop12_qp85", efps_hd, hd["ref_efps"],
             parity_hd and stream_hd == hd["ref_stream"])
-    _metric("device_fps_1080p_gop12_qp85", _device_only_fps(hd),
-            hd["ref_efps"])
+    dev_hd = _device_only_fps(hd)
+    _metric("device_fps_1080p_gop12_qp85", dev_hd, hd["ref_efps"],
+            hbm=_hbm_frac(hd["w"], hd["h"], dev_hd))
+
+    # --- 1080p decode of the reference's own stream
+    _, dec_hd = decode_stream_gops(hd["ref_stream"])  # compile
+    parity_dec_hd = b"".join(
+        np.asarray(p).tobytes() for f in dec_hd for p in f[1]) \
+        == hd["ref_decode"]
+    del dec_hd
+    reps = 2
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        decode_stream_gops(hd["ref_stream"])
+    dfps_hd = hd["n"] * reps / (time.perf_counter() - t0)
+    _metric("decode_fps_1080p_gop12_qp85", dfps_hd, hd["ref_dfps"],
+            parity_dec_hd)
+    ddev_hd = _device_decode_fps(hd["ref_stream"])
+    _metric("device_decode_fps_1080p_gop12_qp85", ddev_hd, hd["ref_dfps"],
+            hbm=_hbm_frac(hd["w"], hd["h"], ddev_hd))
 
     # --- CIF decode of the reference's own stream
     _, dec = decode_stream_gops(cif["ref_stream"])  # compile
@@ -231,10 +297,14 @@ def main():
         decode_stream_gops(cif["ref_stream"])
     dfps = cif["n"] * reps / (time.perf_counter() - t0)
     _metric("decode_fps_cif_gop12_qp85", dfps, cif["ref_dfps"], parity_dec)
+    ddev_cif = _device_decode_fps(cif["ref_stream"])
+    _metric("device_decode_fps_cif_gop12_qp85", ddev_cif, cif["ref_dfps"],
+            hbm=_hbm_frac(cif["w"], cif["h"], ddev_cif))
 
     # --- CIF device-only encode
-    _metric("device_fps_cif_gop12_qp85", _device_only_fps(cif),
-            cif["ref_efps"])
+    dev_cif = _device_only_fps(cif)
+    _metric("device_fps_cif_gop12_qp85", dev_cif, cif["ref_efps"],
+            hbm=_hbm_frac(cif["w"], cif["h"], dev_cif))
 
     # --- CIF e2e encode: the headline metric (LAST line, driver-parsed)
     reps = 3

@@ -196,37 +196,12 @@ def decode_stream_gops(stream: bytes, mesh: Mesh | None = None):
     return meta_box.get("meta"), frames
 
 
-def iter_decode_gops(stream: bytes, mesh: Mesh | None = None, *,
-                     _meta_box: dict | None = None):
-    """Generator variant of decode_stream_gops: yields (fno, [y, u, v])
-    in stream order while holding only one device chunk of decoded
-    frames (plus the parsed symbol lists) in memory."""
-    meta = None
-    frames = []
-    for _t, pkt in iter_packets(stream):
-        try:
-            t = parse_packet_hdr(pkt)
-            if t == PT_META:
-                meta = parse_metadata(pkt)
-            elif t == PT_EOS:
-                break
-            elif pt_is_pic(t) and meta is not None:
-                frames.append(_parse_picture(pkt, meta))
-        except (ValueError, IndexError):
-            # corrupt or truncated packet: skip it, like the reference's
-            # in-stream guards (hzcc.c:337-339, dsv_decoder.c:398-401)
-            continue
-    if _meta_box is not None:
-        _meta_box["meta"] = meta
-    if meta is None or not frames:
-        return
-    if (any(f["overflow"] for f in frames)
-            or len({(f["blk_w"], f["blk_h"]) for f in frames}) != 1):
-        from ..models.decoder import Decoder
-        dec = Decoder()
-        yield from dec.decode_stream(stream)
-        return
+def _plan_stream(meta, frames, mesh: Mesh | None):
+    """Chunking plan + jitted decoder for a parsed picture list.
 
+    Shared by iter_decode_gops and the bench's device-only decode metric
+    (bench.py), so both measure the exact shipped executable. Returns
+    (fn, layout_box, pack_chunk, chains, chunk, nc, npad, in_specs)."""
     # split into chains: every no-ref picture starts one
     chains = []
     for i, f in enumerate(frames):
@@ -314,6 +289,67 @@ def iter_decode_gops(stream: bytes, mesh: Mesh | None = None, *,
                 sb[cl, k] = f["submask"]
         return (sidx, sval, dcs, quants, is_p, is_ref, stable,
                 mo, mx, my, sb)
+
+    return fn, layout_box, pack_chunk, chains, chunk, nc, npad, in_specs
+
+
+def bench_device_chunk(stream: bytes):
+    """(jitted decode fn, first chunk's packed blob, frames in chunk) —
+    the device-only decode metric hook for bench.py: the exact shipped
+    executable with device-resident input, timed by in-jit repetition
+    (tools/devtime.py) like the encode device metric."""
+    from ..ops.opt import blob_concat_np
+
+    meta = None
+    frames = []
+    for _t, pkt in iter_packets(stream):
+        t = parse_packet_hdr(pkt)
+        if t == PT_META:
+            meta = parse_metadata(pkt)
+        elif t == PT_EOS:
+            break
+        elif pt_is_pic(t) and meta is not None:
+            frames.append(_parse_picture(pkt, meta))
+    fn, _lb, pack_chunk, chains, chunk, nc, _np_, _specs = \
+        _plan_stream(meta, frames, None)
+    blob_np, _ = blob_concat_np(pack_chunk(0))
+    nf = sum(len(chains[ci]) for ci in range(min(chunk, nc)))
+    return fn, blob_np, nf
+
+
+def iter_decode_gops(stream: bytes, mesh: Mesh | None = None, *,
+                     _meta_box: dict | None = None):
+    """Generator variant of decode_stream_gops: yields (fno, [y, u, v])
+    in stream order while holding only one device chunk of decoded
+    frames (plus the parsed symbol lists) in memory."""
+    meta = None
+    frames = []
+    for _t, pkt in iter_packets(stream):
+        try:
+            t = parse_packet_hdr(pkt)
+            if t == PT_META:
+                meta = parse_metadata(pkt)
+            elif t == PT_EOS:
+                break
+            elif pt_is_pic(t) and meta is not None:
+                frames.append(_parse_picture(pkt, meta))
+        except (ValueError, IndexError):
+            # corrupt or truncated packet: skip it, like the reference's
+            # in-stream guards (hzcc.c:337-339, dsv_decoder.c:398-401)
+            continue
+    if _meta_box is not None:
+        _meta_box["meta"] = meta
+    if meta is None or not frames:
+        return
+    if (any(f["overflow"] for f in frames)
+            or len({(f["blk_w"], f["blk_h"]) for f in frames}) != 1):
+        from ..models.decoder import Decoder
+        dec = Decoder()
+        yield from dec.decode_stream(stream)
+        return
+
+    fn, layout_box, pack_chunk, chains, chunk, nc, npad, in_specs = \
+        _plan_stream(meta, frames, mesh)
 
     from ..ops.opt import blob_concat_np
     from ..ops.opt import blob_split as _blob_split
