@@ -45,7 +45,8 @@ def _chunk_of(nb: int) -> int:
     return min(CHUNK, ((nb + 7) // 8) * 8)
 
 
-def _load(ref, rr, cc, H_: int, W_: int, aligned: bool = False):
+def _load(ref, rr, cc, H_: int, W_: int, aligned: bool = False,
+          lead: tuple = (0,)):
     """(H_, W_) i32 window at dynamic (rr, cc) from a VMEM-resident
     (1, EHP, SP) u8 plane.
 
@@ -72,7 +73,7 @@ def _load(ref, rr, cc, H_: int, W_: int, aligned: bool = False):
         RH = ((H_ + 8 + 7) // 8) * 8
     c128 = pl.multiple_of(cc & ~127, 128)
     LW = ((W_ + 128 + 127) // 128) * 128
-    big = ref[0, pl.ds(r8, RH), pl.ds(c128, LW)].astype(jnp.int32)
+    big = ref[(*lead, pl.ds(r8, RH), pl.ds(c128, LW))].astype(jnp.int32)
     big = pltpu.roll(big, -(cc - c128), axis=1)
     if W_ <= 128:
         big = big[:, :128]
@@ -95,6 +96,30 @@ def use_pallas() -> bool:
         return jax.default_backend() not in ("cpu",)
     except Exception:  # pragma: no cover
         return False
+
+
+def _plane_vmem_bytes(layout: FrameLayout) -> int:
+    """Padded VMEM footprint of one extended luma plane as the kernels
+    allocate it (EHP x SP u8; see refine_*_pallas wrappers)."""
+    p = layout.planes[0]
+    EH = p.h + 2 * p.ext
+    return (((EH + 7) & ~7) + 16) * (p.stride + 256)
+
+
+def pallas_supported(layouts, effort: int) -> bool:
+    """Can the pallas HME path run this geometry within VMEM?
+
+    Level 0 streams SRC per block row with REF resident when the plane
+    exceeds MAX_PLANE_BYTES (the banded base kernel), so full-res size
+    is unbounded for effort 0. The coarse refine kernels (levels >= 1)
+    and the effort>0 level-0 refine keep BOTH planes resident, so their
+    planes must fit the budget; at 4K level 1 is ~2.7 MB (fits) — 8K+
+    or effort>0-at-4K fall back to the XLA search path."""
+    if effort != 0 and _plane_vmem_bytes(layouts[0]) > MAX_PLANE_BYTES:
+        return False
+    if len(layouts) > 1 and _plane_vmem_bytes(layouts[1]) > MAX_PLANE_BYTES:
+        return False
+    return True
 
 
 def _masked_sad(a, b, colm, rowm):
@@ -314,7 +339,7 @@ def _texture14(a):
 def _base_kernel(cm_ref, src_ref, ref_ref, mvx_ref, mvy_ref, flags_ref,
                  qbits_ref, ltex_ref, svar_ref, *, EH: int, S: int, E: int,
                  w: int, h: int, nbh_l: int, BW: int, BH: int, NC: int,
-                 chunk: int):
+                 chunk: int, banded: bool = False):
     """Level-0 kernel: candidate select + 9-point full-pel + 8-point
     half-pel refine + the whole luma HVS intra cascade (hme.c:543-722),
     per block, with both planes resident in VMEM.
@@ -324,8 +349,22 @@ def _base_kernel(cm_ref, src_ref, ref_ref, mvx_ref, mvy_ref, flags_ref,
     quadrant, 14x14 centre) — measured ~55 ms of an 11-frame 1080p GOP's
     92 ms HME. Chroma variance (hme.c:667-682) needs the chroma planes
     and stays in XLA; its cascade term ORs into FLAG_GO_INTRA there.
+
+    banded=True is the large-plane (4K+) mode: both planes resident
+    blow the VMEM budget (2 x ~9.7 MB at 4K vs ~16 MB), but the kernel
+    reads the SOURCE plane only at block-origin windows (srcw and the
+    14x14 half-pel centre — the zero-MV / candidate / half-pel windows
+    all come from REF), so REF stays fully resident while SRC arrives
+    as one (BH+32)-row band per block row via the grid: grid
+    (B, nbv, row-chunks), src block (1, 1, BAND_H, SP) indexed by the
+    row, band j covering plane rows [E + j*BH - 16, E + j*BH + BH + 16)
+    (margins for the centre window's sublane alignment).
     """
-    c = pl.program_id(1)
+    if banded:
+        gj_b = pl.program_id(1)
+        c = pl.program_id(2)
+    else:
+        c = pl.program_id(1)
     imax = jnp.int32(2**31 - 1)
     b = FRAME_BORDER
     cols = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1)
@@ -333,9 +372,14 @@ def _base_kernel(cm_ref, src_ref, ref_ref, mvx_ref, mvy_ref, flags_ref,
     load = _load
 
     def body(i, _):
-        t = c * chunk + i
-        gi = jax.lax.rem(t, nbh_l)
-        gj = jax.lax.div(t, nbh_l)
+        if banded:
+            gi = c * chunk + i
+            gj = gj_b
+            t = gj * nbh_l + gi
+        else:
+            t = c * chunk + i
+            gi = jax.lax.rem(t, nbh_l)
+            gj = jax.lax.div(t, nbh_l)
         bx = gi * BW
         by = gj * BH
         inframe = (bx < w) & (by < h)
@@ -343,9 +387,16 @@ def _base_kernel(cm_ref, src_ref, ref_ref, mvx_ref, mvy_ref, flags_ref,
         bh_c = jnp.clip(h - by, 0, BH)
         colm = cols < bw_c
         rowm = rows < bh_c
-        # & ~7 keeps the block-origin row alignment under the clamp
-        srcw = load(src_ref, jnp.clip(E + by, 0, (EH - BH) & ~7),
-                    jnp.clip(E + bx, 0, S - BW), BH, BW, aligned=True)
+        if banded:
+            # band-local rows: band j starts at plane row E + j*BH - 16,
+            # so the block origin E + by sits at constant local row 16
+            srcw = load(src_ref, jnp.int32(16),
+                        jnp.clip(E + bx, 0, S - BW), BH, BW,
+                        aligned=True, lead=(0, 0))
+        else:
+            # & ~7 keeps the block-origin row alignment under the clamp
+            srcw = load(src_ref, jnp.clip(E + by, 0, (EH - BH) & ~7),
+                        jnp.clip(E + bx, 0, S - BW), BH, BW, aligned=True)
 
         # --- candidate SADs (hme.c:452-510)
         bsad = imax
@@ -399,8 +450,15 @@ def _base_kernel(cm_ref, src_ref, ref_ref, mvx_ref, mvy_ref, flags_ref,
         yareasq = yarea * yarea  # <= 4096^2, no wrap
         cx = bx + (bw_c >> 1) - HP // 2
         cy = by + (bh_c >> 1) - HP // 2
-        srcw14 = load(src_ref, jnp.clip(E + cy, 0, EH - HP),
-                      jnp.clip(E + cx, 0, S - HP), HP, HP)
+        if banded:
+            # local row = (E + cy) - (E + by - 16) = (bh_c >> 1) + 9;
+            # in [9, BH/2 + 9], superset stays inside the BH+32 band
+            srcw14 = load(src_ref, (bh_c >> 1) + jnp.int32(9),
+                          jnp.clip(E + cx, 0, S - HP), HP, HP,
+                          lead=(0, 0))
+        else:
+            srcw14 = load(src_ref, jnp.clip(E + cy, 0, EH - HP),
+                          jnp.clip(E + cx, 0, S - HP), HP, HP)
 
         # one (NB_W, NB_W) neighbourhood at (cy+dy-2, cx+dx-2) covers all
         # eight half-pel windows and their 4-tap supports
@@ -600,30 +658,114 @@ def _build_base_call(B: int, NBP: int, EH: int, EHP: int, S: int, SP: int,
     )
 
 
+@functools.lru_cache(maxsize=16)
+def _build_base_call_banded(B: int, nbv: int, NBH_P: int, EH: int,
+                            EHP: int, S: int, SP: int, E: int, w: int,
+                            h: int, nbh_l: int, BW: int, BH: int, NC: int,
+                            chunk: int, interpret: bool):
+    """4K+ variant: REF resident, SRC as one band per block row (see
+    _base_kernel banded docstring)."""
+    BAND_H = BH + 32
+    # nbh_l=NBH_P: banded output rows are NBH_P wide (per-row padding),
+    # so the kernel's t = gj*nbh_l + gi must stride by NBH_P; padded
+    # gi >= real nbh land out of frame and are sliced off by the caller
+    kern = functools.partial(_base_kernel, EH=EH, S=S, E=E, w=w, h=h,
+                             nbh_l=NBH_P, BW=BW, BH=BH, NC=NC, chunk=chunk,
+                             banded=True)
+    CB = NBH_P // chunk
+    grid = (B, nbv, CB)
+    NBP = nbv * NBH_P
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, chunk, 2 * NC),
+                         lambda b, j, c, CB=CB: (b, j * CB + c, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, BAND_H, SP), lambda b, j, c: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, EHP, SP), lambda b, j, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, NBP), lambda b, j, c: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ] * 6,
+        out_shape=[jax.ShapeDtypeStruct((B, 1, NBP), jnp.int32)] * 6,
+        interpret=interpret,
+    )
+
+
 def refine_base_pallas(src2d, ref2d, cmx, cmy, layout: FrameLayout,
                        blk_w: int, blk_h: int, nbh_l: int, nb: int,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       banded: bool | None = None):
     """Level-0 search + luma HVS cascade in one kernel (see _base_kernel).
 
     Returns per-block (B, nb) int32 arrays:
     (mvx, mvy, flags, qbits, luma_tex, src_var).
+
+    Planes larger than MAX_PLANE_BYTES (4K+) run the banded variant:
+    REF resident in VMEM, SRC streamed per block row. banded=None
+    auto-selects by plane size; tests pass True to arbitrate the banded
+    path on small planes in interpret mode.
     """
     B, EH, S = src2d.shape
     NC = cmx.shape[-1]
     p = layout.planes[0]
-    chunk = _chunk_of(nb)
-    NBP = -(-nb // chunk) * chunk
-    if NBP != nb:
-        padw = ((0, 0), (0, NBP - nb), (0, 0))
-        cmx = jnp.pad(cmx, padw)
-        cmy = jnp.pad(cmy, padw)
-    cm = jnp.concatenate([cmx, cmy], axis=-1).astype(jnp.int32)
     EHP = ((EH + 7) & ~7) + 16
     SP = S + 256
     rp = ((0, 0), (0, EHP - EH), (0, SP - S))
+    if banded is None:
+        banded = EHP * SP > MAX_PLANE_BYTES
+    if not banded:
+        chunk = _chunk_of(nb)
+        NBP = -(-nb // chunk) * chunk
+        if NBP != nb:
+            padw = ((0, 0), (0, NBP - nb), (0, 0))
+            cmx = jnp.pad(cmx, padw)
+            cmy = jnp.pad(cmy, padw)
+        cm = jnp.concatenate([cmx, cmy], axis=-1).astype(jnp.int32)
+        src2d = jnp.pad(src2d, rp)
+        ref2d = jnp.pad(ref2d, rp)
+        call = _build_base_call(B, NBP, EH, EHP, S, SP, p.ext, p.w, p.h,
+                                nbh_l, blk_w, blk_h, NC, chunk, interpret)
+        outs = call(cm, src2d, ref2d)
+        return tuple(o[:, 0, :nb] for o in outs)
+
+    nbv = nb // nbh_l
+    chunk = _chunk_of(nbh_l)
+    NBH_P = -(-nbh_l // chunk) * chunk
+    E = p.ext
+    BH = blk_h
+    BAND_H = BH + 32
+    # per-row candidate padding nbh_l -> NBH_P
+    cmr = [a.reshape(B, nbv, nbh_l, NC) for a in (cmx, cmy)]
+    if NBH_P != nbh_l:
+        cmr = [jnp.pad(a, ((0, 0), (0, 0), (0, NBH_P - nbh_l), (0, 0)))
+               for a in cmr]
+    cm = jnp.concatenate(cmr, axis=-1).astype(jnp.int32) \
+        .reshape(B, nbv * NBH_P, 2 * NC)
     src2d = jnp.pad(src2d, rp)
     ref2d = jnp.pad(ref2d, rp)
-    call = _build_base_call(B, NBP, EH, EHP, S, SP, p.ext, p.w, p.h,
-                            nbh_l, blk_w, blk_h, NC, chunk, interpret)
-    outs = call(cm, src2d, ref2d)
-    return tuple(o[:, 0, :nb] for o in outs)
+    # band j covers plane rows [E + j*BH - 16, E + j*BH + BH + 16)
+    bands = jnp.stack(
+        [jax.lax.slice(src2d, (0, E + j * BH - 16, 0),
+                       (B, E + j * BH - 16 + BAND_H, SP))
+         for j in range(nbv)], axis=1)            # (B, nbv, BAND_H, SP)
+    # B stays OUT of the pallas grid (lax.map of B=1 calls): a batched
+    # grid's REF block changes with b, and Mosaic double-buffers the
+    # incoming block across grid transitions — 2 x 9.7 MB at 4K blows
+    # VMEM. With b fixed the (0, 0, 0) index is a pure revisit: one
+    # resident buffer.
+    call = _build_base_call_banded(1, nbv, NBH_P, EH, EHP, S, SP, E,
+                                   p.w, p.h, nbh_l, blk_w, blk_h, NC,
+                                   chunk, interpret)
+
+    def one(args):
+        cm1, band1, ref1 = args
+        return call(cm1[None], band1[None], ref1[None])
+
+    outs = jax.lax.map(one, (cm, bands, ref2d))
+    return tuple(o.reshape(B, nbv, NBH_P)[:, :, :nbh_l]
+                 .reshape(B, nb) for o in outs)

@@ -64,7 +64,7 @@ from ..ops import piclen as _piclen
 from ..ops import rc as _rc
 from ..ops.opt import blob_concat as _blob_concat
 from ..ops.opt import blob_split as _blob_split
-from ..ops.pallas_hme import use_pallas
+from ..ops.pallas_hme import pallas_supported, use_pallas
 
 
 def crf_quant(quality: int) -> int:
@@ -371,8 +371,11 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
 
         pairs = [tails(a) for a in imgs_all]
         # pallas kernels are per-device programs: available under the
-        # shard_map gop path, not under the GSPMD-partitioned tile path
-        if use_pallas() and tile_key is None:
+        # shard_map gop path, not under the GSPMD-partitioned tile path;
+        # pallas_supported gates geometries whose resident planes would
+        # blow the VMEM budget (ops/pallas_hme.py)
+        if use_pallas() and tile_key is None \
+                and pallas_supported(layouts, effort):
             mv_all = hme_batch([p[0] for p in pairs],
                                [p[1] for p in pairs], layouts,
                                blk_w, blk_h, nbh, nbv, subsamp, levels,
