@@ -286,6 +286,17 @@ def main():
     _metric("device_decode_fps_1080p_gop12_qp85", ddev_hd, hd["ref_dfps"],
             hbm=_hbm_frac(hd["w"], hd["h"], ddev_hd))
 
+    # --- 4K encode: device-only (BASELINE config 5's resolution; e2e
+    # through the tunnel is upload-bound at ~12.4 MB/frame). Parity:
+    # one e2e encode byte-compares vs the reference binary, verifying
+    # the banded pallas HME path (ops/pallas_hme.py) on real hardware.
+    uhd = _mk_point(3840, 2160, 12, "4k")
+    stream_4k = encode_stream_gops(uhd["frames"], uhd["meta"], uhd["cfg"])
+    dev_4k = _device_only_fps(uhd)
+    _metric("device_fps_4k_gop12_qp85", dev_4k, uhd["ref_efps"],
+            stream_4k == uhd["ref_stream"],
+            hbm=_hbm_frac(uhd["w"], uhd["h"], dev_4k))
+
     # --- CIF decode of the reference's own stream
     _, dec = decode_stream_gops(cif["ref_stream"])  # compile
     parity_dec = b"".join(

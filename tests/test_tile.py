@@ -147,3 +147,37 @@ def test_gop_tile_mesh_720p_byte_identical():
     tiled = encode_stream_gops(frames, meta, cfg, mesh=mesh)
     single = encode_stream_gops(frames, meta, cfg)
     assert tiled == single
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("DSV1_SLOW_TESTS"),
+                    reason="4K on CPU; set DSV1_SLOW_TESTS=1")
+def test_gop_mesh_4k_byte_identical():
+    """4K GOP-sharded encode byte-identity (BASELINE config 5's
+    resolution on the virtual mesh; the real-hardware 4K byte-identity
+    vs the reference binary runs in bench.py). Two 2-frame GOPs so the
+    CPU path stays minutes-fast."""
+    import numpy as np
+
+    from dsv1_tpu.constants import RATE_CONTROL_CRF, SUBSAMP_420, \
+        quality_percent
+    from dsv1_tpu.models.encoder import EncoderConfig
+    from dsv1_tpu.models.metadata import Metadata
+    from dsv1_tpu.parallel import encode_stream_gops, gop_mesh
+    import jax
+
+    w, h, G = 3840, 2160, 2
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 200, (h, w), dtype=np.uint8)
+    frames = []
+    for i in range(2 * G):
+        y = np.clip(np.roll(base, 3 * i, axis=1).astype(np.int32)
+                    + rng.integers(-3, 4, (h, w)), 0, 255).astype(np.uint8)
+        frames.append((y, np.full((h // 2, w // 2), 120, np.uint8),
+                       np.full((h // 2, w // 2), 133, np.uint8)))
+    meta = Metadata(w, h, SUBSAMP_420)
+    cfg = EncoderConfig(quality=quality_percent(85), gop=G,
+                        rc_mode=RATE_CONTROL_CRF, stable_refresh=G - 1)
+    mesh = gop_mesh(jax.devices()[:2])
+    sharded = encode_stream_gops(frames, meta, cfg, mesh=mesh)
+    single = encode_stream_gops(frames, meta, cfg)
+    assert sharded == single
