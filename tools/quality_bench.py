@@ -9,9 +9,11 @@ CIF @30fps gop12 qp85 ABR 1100 kbps). Compares PSNR and stream size of
 All streams are decoded with the *reference* binary, so PSNR is measured
 through the normative decoder. Prints one JSON line per row.
 
-Usage: python tools/quality_bench.py [frames] [width height]
+Usage: python tools/quality_bench.py [frames] [width height] [corpus]
 (defaults 96 frames at 176x144 — QCIF keeps the CPU fallback tractable;
-pass 288 352 288 on a TPU session for the full headline point)
+pass `288 352 288 rich` on a TPU session for the full headline point on
+the realistic-motion corpus: global pan + crossing occluders + static
+textured strip, tests/corpus.py make_rich_clip)
 """
 import json
 import subprocess
@@ -38,7 +40,9 @@ def main():
     from dsv1_tpu.utils.yuv import frame_size
 
     G, kbps = 12, 1100
-    yuv = corpus.make_clip(w, h, SUBSAMP_420, nf, seed=11)
+    rich = len(sys.argv) > 4 and sys.argv[4] == "rich"
+    mk = corpus.make_rich_clip if rich else corpus.make_clip
+    yuv = mk(w, h, SUBSAMP_420, nf, seed=11)
     fsz = frame_size(w, h, SUBSAMP_420)
     frames = [np_yuv_split(np.frombuffer(yuv[i * fsz:(i + 1) * fsz],
                                          np.uint8), SUBSAMP_420, w, h)
