@@ -53,7 +53,13 @@ def make_layout(subsamp: int, width: int, height: int,
     planes = []
     base = 0
     for (w, h) in ((width, height), (cw, ch), (cw, ch)):
-        stride = round_pow2(w + ext * 2, 4)
+        # 256-byte stride alignment (the reference uses 16, frame.c:63;
+        # our device layout is internal): span_gather's fast TPU path
+        # needs 128-lane chunks that divide the stride (ops/opt.py
+        # _chunk_width), and a 16-byte-aligned chroma stride drops it to
+        # 64-wide gathers which XLA scalarizes through a serial loop
+        # (measured: 1080p chroma compensate 2.0 -> 0.6 ms).
+        stride = round_pow2(w + ext * 2, 8)
         length = stride * (h + ext * 2)
         planes.append(PlaneGeom(offset=base + stride * ext + ext,
                                 stride=stride, w=w, h=h, ext=ext))
