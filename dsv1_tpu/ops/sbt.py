@@ -42,11 +42,79 @@ Bit-exactness notes:
   temp-buffer memory — undefined behavior we do not reproduce).
 """
 
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
 
 from ..constants import MAXLVL, MINQUANT, QP_I, QP_P, round_shift
 from .cint import lb2, lb2_static, round2, round4, round8, trunc_div
+
+# ±1 column-pairing matrix for _col_pairs: output lanes 0..63 are the
+# per-128-block pair SUMS (cols 2k + 2k+1), lanes 64..127 the DIFFS
+_COLM = np.zeros((128, 128), np.float32)
+for _k in range(64):
+    _COLM[2 * _k, _k] = _COLM[2 * _k + 1, _k] = 1.0
+    _COLM[2 * _k, 64 + _k] = 1.0
+    _COLM[2 * _k + 1, 64 + _k] = -1.0
+
+# 0/1 deinterleave matrix for _col_phases: lanes 0..63 select the EVEN
+# column of each pair, lanes 64..127 the ODD column
+_COLP = np.zeros((128, 128), np.float32)
+for _k in range(64):
+    _COLP[2 * _k, _k] = 1.0
+    _COLP[2 * _k + 1, 64 + _k] = 1.0
+
+
+def _col_phases(a):
+    """(even, odd) column phases via one f32 MXU contraction (same
+    rationale and exactness bound as _col_pairs)."""
+    r, n = a.shape
+    wp = -(-n // 128) * 128
+    if wp != n:
+        a = jnp.pad(a, ((0, 0), (0, wp - n)))
+    t = a.reshape(r, wp // 128, 128).astype(jnp.float32)
+    out = jnp.einsum("hbw,wk->hbk", t, jnp.asarray(_COLP),
+                     preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST).astype(jnp.int32)
+    even = out[:, :, :64].reshape(r, wp // 2)
+    odd = out[:, :, 64:].reshape(r, wp // 2)
+    return even[:, :n // 2], odd[:, :n // 2]
+
+
+def _col_pairs(rp):
+    """(sum, diff) of adjacent column pairs via one f32 MXU contraction.
+
+    Column-strided lax.slice extraction costs ~0.12 ms per phase for a
+    1080p plane (non-contiguous lane access); one einsum against the
+    static ±1 matrix produces both halves in ~0.05 ms. Exact: inputs
+    are integers (pixel-derived coefficients stay well under 2^24 at
+    every level that takes this path — |coef| <= 255 entering level 1,
+    growing ~x3.2/level under the 4/5 LL scaling), products are
+    ±1-weighted, and f32 represents all integers < 2^24 exactly.
+
+    rp: (he, we) int32, we even. Returns (s, d) of shape (he, we//2).
+    """
+    he, we = rp.shape
+    wp = -(-we // 128) * 128
+    if wp != we:
+        rp = jnp.pad(rp, ((0, 0), (0, wp - we)))
+    a = rp.reshape(he, wp // 128, 128).astype(jnp.float32)
+    # HIGHEST precision: the TPU default lowers f32 matmuls through the
+    # 3-pass bf16 decomposition, which rounds large integer sums (broke
+    # 1080p byte-identity); the 6-pass form is exact for f32 inputs
+    out = jnp.einsum("hbw,wk->hbk", a, jnp.asarray(_COLM),
+                     preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST).astype(jnp.int32)
+    s = out[:, :, :64].reshape(he, wp // 2)
+    d = out[:, :, 64:].reshape(he, wp // 2)
+    return s[:, :we // 2], d[:, :we // 2]
+
+
+def _slice2r(a, r0: int):
+    """Stride-2 row extraction (cheap — sublane axis; see _slice2)."""
+    he, we = a.shape
+    return lax.slice(a, (r0, 0), (he, we), (2, 1))
 
 
 def _slice2(a, r0: int, c0: int):
@@ -109,21 +177,32 @@ def _haar_fwd_region(r, lvl: int, is_i):
     cw, ch = (ws + 1) // 2, (hs + 1) // 2
     fw, fh = ws // 2, hs // 2
     rp = _pad_even(r, ws, hs)
-    x0 = _slice2(rp, 0, 0)
-    x1 = _slice2(rp, 0, 1)
-    x2 = _slice2(rp, 1, 0)
-    x3 = _slice2(rp, 1, 1)
-    LL = x0 + x1 + x2 + x3
+    if ws >= 256:
+        # large levels: column pairing on the MXU (see _col_pairs),
+        # rows via cheap sublane-strided slices
+        cs, cd = _col_pairs(rp)
+        s0, s1 = _slice2r(cs, 0), _slice2r(cs, 1)
+        d0, d1 = _slice2r(cd, 0), _slice2r(cd, 1)
+        LL = s0 + s1
+        LHf = d0 + d1
+        HLf = s0 - s1
+        HHf = d0 - d1
+    else:
+        x0 = _slice2(rp, 0, 0)
+        x1 = _slice2(rp, 0, 1)
+        x2 = _slice2(rp, 1, 0)
+        x3 = _slice2(rp, 1, 1)
+        LL = x0 + x1 + x2 + x3
+        LHf = x0 - x1 + x2 - x3
+        HLf = x0 + x1 - x2 - x3
+        HHf = x0 - x1 - x2 + x3
     if lvl > 1:  # LVL_TEST (sbt.c:22)
         LL = trunc_div(LL * 4, 5)  # FWD_SCALE
     elif isinstance(is_i, bool):
         LL = trunc_div(LL * 4, 5) if is_i else LL
     else:
         LL = jnp.where(is_i, trunc_div(LL * 4, 5), LL)
-    LH = x0 - x1 + x2 - x3
-    HL = x0 + x1 - x2 - x3
-    HH = x0 - x1 - x2 + x3
-    return LL, LH[:, :fw], HL[:fh, :], HH[:fh, :fw]
+    return LL, LHf[:, :fw], HLf[:fh, :], HHf[:fh, :fw]
 
 
 def _assemble(LL, LH, HL, HH):
@@ -147,11 +226,25 @@ def _interleave2x2(a00, a01, a10, a11):
 def _b4t_fwd_axis(a, axis: int):
     """C.3.2.1 forward B4T along an axis (even length; sbt.c:90-126)."""
     if axis == 0:
-        return _b4t_fwd_axis(a.T, 1).T
+        # native row form — a full transpose of a 1080p plane is an
+        # expensive tiled-layout conversion; row phases are cheap
+        # sublane-strided slices
+        n = a.shape[0]
+        assert n % 2 == 0, "B4T requires even dimensions"
+        even = _slice2r(a, 0)
+        odd = _slice2r(a, 1)
+        x0 = jnp.concatenate([odd[:1], odd[:-1]], axis=0)
+        x3 = jnp.concatenate([even[1:], odd[-1:]], axis=0)
+        L = round2(3 * (even + odd) - x0 - x3)
+        H = round2(x0 - 3 * even + 3 * odd - x3)
+        return jnp.concatenate([L, H], axis=0)
     r, n = a.shape
     assert n % 2 == 0, "B4T requires even dimensions"
-    even = lax.slice(a, (0, 0), (r, n), (1, 2))
-    odd = lax.slice(a, (0, 1), (r, n), (1, 2))
+    if n >= 256:
+        even, odd = _col_phases(a)  # MXU deinterleave (see _col_pairs)
+    else:
+        even = lax.slice(a, (0, 0), (r, n), (1, 2))
+        odd = lax.slice(a, (0, 1), (r, n), (1, 2))
     x0 = jnp.concatenate([odd[:, :1], odd[:, :-1]], axis=1)
     x1 = even
     x2 = odd
@@ -164,7 +257,19 @@ def _b4t_fwd_axis(a, axis: int):
 def _b4t_inv_axis(a, axis: int):
     """C.3.2.2 inverse B4T along an axis (even length; sbt.c:128-163)."""
     if axis == 0:
-        return _b4t_inv_axis(a.T, 1).T
+        # native row form (no transpose — see _b4t_fwd_axis)
+        n = a.shape[0]
+        assert n % 2 == 0, "B4T requires even dimensions"
+        m = n // 2
+        L = a[:m]
+        H = a[m:]
+        Lp = jnp.concatenate([L[:1], L[:-1]], axis=0)
+        Hp = jnp.concatenate([H[:1], H[:-1]], axis=0)
+        Ln = jnp.concatenate([L[1:], L[-1:]], axis=0)
+        Hn = jnp.concatenate([H[1:], H[-1:]], axis=0)
+        evens = round8(Lp + 3 * L + Hp - 3 * H)
+        odds = round8(3 * L + Ln + 3 * H - Hn)
+        return jnp.stack([evens, odds], axis=1).reshape(n, a.shape[1])
     n = a.shape[1]
     assert n % 2 == 0, "B4T requires even dimensions"
     m = n // 2
