@@ -188,6 +188,16 @@ def ds2x_luma(plane2d, dw: int, dh: int):
     # All four phases share limit (2dh, 2dw): from start 1 the stride-2
     # count ceil((2d-1)/2) == d, identical indices to the C loop.
     lim = (2 * dh, 2 * dw)
+    if 2 * dw >= 256:
+        # column pairs on the MXU (ops/opt.py col_block_dot: the four
+        # column-strided phase slices cost ~1.4 ms each on the batched
+        # 1080p pyramid level), rows via cheap sublane-strided slices
+        from .opt import PAIR_SUM64, col_block_dot
+        reg = jax.lax.slice(a, (0, 0), lim)
+        cs = col_block_dot(reg, PAIR_SUM64).reshape(2 * dh, -1)[:, :dw]
+        r0 = jax.lax.slice(cs, (0, 0), (2 * dh, dw), (2, 1))
+        r1 = jax.lax.slice(cs, (1, 0), (2 * dh, dw), (2, 1))
+        return ((r0 + r1 + 2) >> 2).astype(jnp.uint8)
     p1 = jax.lax.slice(a, (0, 0), lim, (2, 2))
     p2 = jax.lax.slice(a, (0, 1), lim, (2, 2))
     p3 = jax.lax.slice(a, (1, 0), lim, (2, 2))

@@ -92,6 +92,38 @@ def blob_split_device(blob, specs):
     return out
 
 
+# column-pair SUM matrix for col_block_dot: out lane k of a 128-col
+# block = cols 2k + 2k+1 (k < 64)
+PAIR_SUM64 = np.zeros((128, 64), np.float32)
+for _k in range(64):
+    PAIR_SUM64[2 * _k, _k] = PAIR_SUM64[2 * _k + 1, _k] = 1.0
+
+
+def col_block_dot(a, M):
+    """Per-128-column-block contraction with a static (128, K) matrix.
+
+    The TPU-fast form of column-phase work (pair sums/diffs,
+    deinterleaves): column-strided lax.slice extraction reads
+    non-contiguous lanes (~0.12 ms per phase per 1080p plane, x4 for a
+    Haar level), while one MXU einsum against a +-1/0 matrix does all
+    phases in one pass. Exact for integer inputs: products are
+    +-1-weighted, f32 represents integers < 2^24 exactly, and HIGHEST
+    precision forces the 6-pass bf16 decomposition (the TPU-default
+    3-pass form rounds large sums).
+
+    a: (r, n) int. Returns (r, nblocks, K) int32; block b lane k =
+    dot(a[:, 128b:128b+128], M[:, k]).
+    """
+    r, n = a.shape
+    wp = -(-n // 128) * 128
+    if wp != n:
+        a = jnp.pad(a, ((0, 0), (0, wp - n)))
+    t = a.reshape(r, wp // 128, 128).astype(jnp.float32)
+    return jnp.einsum("hbw,wk->hbk", t, jnp.asarray(M),
+                      preferred_element_type=jnp.float32,
+                      precision=lax.Precision.HIGHEST).astype(jnp.int32)
+
+
 def runtime(*xs):
     """Mark index arrays as runtime values to defeat constant folding.
 
