@@ -265,7 +265,7 @@ def _jit_encode_core(subsamp: int, w: int, h: int, blk_w: int, blk_h: int,
 
 def make_encode_core_traced(subsamp: int, w: int, h: int, blk_w: int,
                             blk_h: int, nbh: int, nbv: int,
-                            tile_hook=None):
+                            tile_hook=None, pallas_mc: bool = False):
     """Pure fn like make_encode_core but with is_p as a traced operand
     and recon always produced: a single compiled core serves both I and
     P frames in the GOP scan (parallel/gop.py). Computing both level-1
@@ -291,7 +291,8 @@ def make_encode_core_traced(subsamp: int, w: int, h: int, blk_w: int,
             ref_plane = fr.plane_view(ref_recon_img, layout, c)
             pred = bmc.compensate_plane(
                 ref_recon_img, ref_plane, layout, c, blk_w, blk_h,
-                nbh, nbv, modes, mvx, mvy, submask)
+                nbh, nbv, modes, mvx, mvy, submask,
+                pallas_ok=pallas_mc)
             src_core = src_ext[:p.h, :p.w]
             core = jnp.where(is_p, bmc.sub_residual(src_core, pred),
                              src_core)

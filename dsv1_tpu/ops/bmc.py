@@ -136,11 +136,18 @@ def _block_avgs(ref_plane, nbh: int, nbv: int, bw: int, bh: int):
 
 def compensate_plane(ref_img, ref_plane, layout: FrameLayout, c: int,
                      blk_w: int, blk_h: int, nbh: int, nbv: int,
-                     modes, mvx, mvy, submask):
+                     modes, mvx, mvy, submask, pallas_ok: bool = False):
     """D.1/D.2 compensate (bmc.c:204-302): build the prediction plane.
 
     ref_img: flat extended reference image; ref_plane: its (h, w) core view.
     Returns the (h, w) uint8 prediction.
+
+    pallas_ok=True routes the prediction build through the MC kernel
+    (ops/pallas_mc.py) when the variants stack fits VMEM — the XLA form
+    below lowers to ~150 dispatch-bound device ops per plane. The
+    variant planes are still computed here (flat-index filters preserve
+    the reference's row-crossing tap reads); only the per-block window
+    fetch + intra fills + select move on-chip.
     """
     p = layout.planes[c]
     ph, pw = p.h, p.w
@@ -156,6 +163,21 @@ def compensate_plane(ref_img, ref_plane, layout: FrameLayout, c: int,
     vflat = variants.reshape(-1)
     S = p.stride
     base = flat_base(layout, c)
+
+    if pallas_ok:
+        from .pallas_mc import compensate_plane_pallas, mc_supported
+        if mc_supported(layout, c):
+            dx2_ = (mvx.reshape(nbv, nbh).astype(jnp.int32)) >> sh
+            dy2_ = (mvy.reshape(nbv, nbh).astype(jnp.int32)) >> sv
+            px_ = jnp.clip(jnp.arange(nbh)[None, :] * bw + (dx2_ >> 1),
+                           -FRAME_BORDER, limx)
+            py_ = jnp.clip((jnp.arange(nbv) * bh)[:, None] + (dy2_ >> 1),
+                           -FRAME_BORDER, limy)
+            phase_ = ((dx2_ & 1) << 1) | (dy2_ & 1)
+            return compensate_plane_pallas(
+                vflat, layout, c, bw, bh, nbh, nbv,
+                (modes.reshape(nbv, nbh) == MODE_INTER).astype(jnp.int32),
+                px_, py_, phase_, submask.reshape(nbv, nbh))
 
     # Per-block fields expanded to the pixel grid by static-factor repeats
     # (dense ops — per-pixel table gathers scalarize on TPU, ops/opt.py).

@@ -41,7 +41,7 @@ from ..ops import bmc, frame as fr, hzcc, sbt
 
 @lru_cache(maxsize=8)
 def build_gop_decoder(subsamp: int, w: int, h: int, L: int,
-                      blk_w: int, blk_h: int):
+                      blk_w: int, blk_h: int, pallas_mc: bool = False):
     """Pure fn decoding one chain of L pictures on device.
 
     f(sidx [Ksym] i32, sval [Ksym] i16, dcs [L,3] i32, quants [L] i32,
@@ -78,7 +78,7 @@ def build_gop_decoder(subsamp: int, w: int, h: int, L: int,
             ref_plane = fr.plane_view(ref_img, layout, c)
             pred = bmc.compensate_plane(
                 ref_img, ref_plane, layout, c, blk_w, blk_h, nbh, nbv,
-                modes, mvx, mvy, submask)
+                modes, mvx, mvy, submask, pallas_ok=pallas_mc)
             outs.append(jnp.where(is_p, bmc.add_residual(pred, rp), rp))
         new_img = fr.image_from_planes(layout, outs)
         # ref retention (dsv_decoder.c:438-456): only is_ref pictures
@@ -109,7 +109,11 @@ def _jit_batched_dec(subsamp, w, h, L, blk_w, blk_h, mesh_key, in_specs):
     link charges ~25ms per transfer, and the raw form is 12 uploads + 3
     fetches per chunk."""
     from ..ops.opt import blob_concat, blob_split_device
-    run = build_gop_decoder(subsamp, w, h, L, blk_w, blk_h)
+    from ..ops.pallas_hme import use_pallas
+    # pallas kernels are per-device programs: single-device decode only
+    # (the mesh path is GSPMD-partitioned)
+    run = build_gop_decoder(subsamp, w, h, L, blk_w, blk_h,
+                            pallas_mc=(use_pallas() and mesh_key is None))
     vrun = jax.vmap(run)
     layout_box = {}
 

@@ -256,7 +256,9 @@ def build_gop_encoder(subsamp: int, w: int, h: int, G: int, quality: int,
     tile_hook = (_make_tile_hook(_MESHES[tile_key])
                  if tile_key is not None else None)
     core = make_encode_core_traced(subsamp, w, h, blk_w, blk_h, nbh, nbv,
-                                   tile_hook)
+                                   tile_hook,
+                                   pallas_mc=(use_pallas()
+                                              and tile_key is None))
     ll_sizes = [int(t.seg_bounds[1])
                 for t in coef_geometry(subsamp, w, h, nbh, nbv)[2]]
 
