@@ -28,7 +28,7 @@ import numpy as np
 from ..constants import (FRAME_BORDER, HP_SAD_SZ, MASK_ALL_INTRA, MODE_INTER,
                          MODE_INTRA, format_h_shift, format_v_shift)
 from .bmc import hpel_variants_luma
-from .frame import FrameLayout, flat_base
+from .frame import FrameLayout, flat_base, plane_view
 from .opt import runtime, span_gather
 
 # np scalar, not jnp: a module-level device array would initialize the
@@ -95,6 +95,30 @@ def _block_analysis(win, cw, ch, BW: int, BH: int):
     tex = ((sh + sv) // 2) // area
     var = ss - (s * s) // area
     return var, tex, s, ss
+
+
+def _block_sqrvar_dense(img, layout: FrameLayout, c: int, cbw: int,
+                        cbh: int, nbh: int, nbv: int, ccw, cch):
+    """y_sqrvar over every grid-aligned block of a plane, densely.
+
+    The chroma cascade term reads one block-aligned window per block —
+    a per-block span gather costs ~0.2 ms/plane at 1080p, while the
+    zero-padded block-reshape reduction is three fused dense ops.
+    Zero padding reproduces the clipped-region masking exactly (edge
+    blocks' out-of-plane pixels contribute nothing to s/ss).
+    ccw/cch: (nb,) clipped block dims. Returns (nb,) u32."""
+    plane = plane_view(img, layout, c)
+    ph, pw = plane.shape
+    hp = nbv * cbh
+    wp = nbh * cbw
+    a = plane.astype(jnp.uint32)
+    if (hp, wp) != (ph, pw):
+        a = jnp.pad(a, ((0, hp - ph), (0, wp - pw)))
+    t = a.reshape(nbv, cbh, nbh, cbw)
+    s = jnp.sum(t, axis=(1, 3)).reshape(-1)
+    ss = jnp.sum(t * t, axis=(1, 3)).reshape(-1)
+    area = jnp.maximum((ccw * cch).astype(jnp.uint32), 1)
+    return ss - (s * s) // area
 
 
 def _y_sqrvar(win, cw, ch, BW: int, BH: int):
@@ -546,20 +570,17 @@ def refine_base_from_kernel(src_img, ref_img, layout: FrameLayout,
     bw_c = jnp.clip(w - bx, 0, blk_w)
     bh_c = jnp.clip(h - by, 0, blk_h)
 
-    # chroma variance check (hme.c:667-682)
+    # chroma variance check (hme.c:667-682) — dense block sums, the
+    # windows are grid-aligned (see _block_sqrvar_dense)
     hs, vs = format_h_shift(subsamp), format_v_shift(subsamp)
-    cbx = gi_f * (blk_w >> hs)
-    cby = gj_f * (blk_h >> vs)
     cbw = blk_w >> hs
     cbh = blk_h >> vs
     ccw = bw_c >> hs
     cch = bh_c >> vs
     cvars = []
     for img in (src_img, ref_img):
-        vs_ = []
-        for c in (1, 2):
-            wv = _window(img, layout, c, cbx, cby, cbw, cbh)
-            vs_.append(_y_sqrvar(wv, ccw, cch, cbw, cbh))
+        vs_ = [_block_sqrvar_dense(img, layout, c, cbw, cbh, nbh, nbv,
+                                   ccw, cch) for c in (1, 2)]
         cvars.append(jnp.maximum(vs_[0], vs_[1]))
     cvarS, cvarR = cvars
 
