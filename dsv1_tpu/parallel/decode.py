@@ -111,9 +111,14 @@ def _jit_batched_dec(subsamp, w, h, L, blk_w, blk_h, mesh_key, in_specs):
     from ..ops.opt import blob_concat, blob_split_device
     from ..ops.pallas_hme import use_pallas
     # pallas kernels are per-device programs: single-device decode only
-    # (the mesh path is GSPMD-partitioned)
+    # (the mesh path is GSPMD-partitioned). Also chunk==1 only: the MC
+    # kernel under a batch-4 vmap (small-frame chunks) measured ~6%
+    # slower than the XLA path, while the batch-1 case (1080p+) wins
+    # ~35% (CIF device decode 1998 vs 1886 fps; 1080p 230 vs ~150).
+    chunk1 = in_specs[0][1][0] == 1
     run = build_gop_decoder(subsamp, w, h, L, blk_w, blk_h,
-                            pallas_mc=(use_pallas() and mesh_key is None))
+                            pallas_mc=(use_pallas() and mesh_key is None
+                                       and chunk1))
     vrun = jax.vmap(run)
     layout_box = {}
 
